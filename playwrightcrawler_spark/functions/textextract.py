@@ -1,0 +1,328 @@
+"""HTML → text / links / words / open-directory kernels.
+
+Per BASELINE.json's ``input_hint`` the engine must reproduce the reference's
+extracted text **byte-identically per url**. The reference pipeline is
+BeautifulSoup(html, "html.parser"): every text node whose *parent element*
+is not in a small blocklist, stripped, empties dropped, joined with a single
+space (``get_min_webcontent``, reference playwrightcrawler.py:3733-3768),
+truncated to ``MAX_WEBCONTENT_SIZE`` chars (:3439).
+
+bs4 is not installed in this sandbox, so the default engine is a
+stdlib-``html.parser`` walk that implements the same spec: a tag-stack
+parser in which each text node's parent is the innermost open element.
+When bs4 IS importable (production cluster), ``extract_text`` automatically
+uses it so the output is produced by the very same library as the
+reference. The pytest suite pins the two paths to each other on fixtures
+whenever bs4 is present, and always pins the Spark UDF output to this
+driver-side kernel.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from html.parser import HTMLParser
+from urllib.parse import urlsplit
+
+from playwrightcrawler_spark import config
+
+try:  # pragma: no cover - exercised only where bs4 is installed
+    from bs4 import BeautifulSoup  # type: ignore
+
+    _HAVE_BS4 = True
+except ImportError:
+    _HAVE_BS4 = False
+
+# Tags whose text content is never page text
+# (reference playwrightcrawler.py:162 and :4105-4107).
+TAG_BLOCKLIST = frozenset(
+    {"script", "style", "noscript", "iframe", "meta", "head", "title", "input"}
+)
+
+# Elements that never take content — matches bs4's html.parser treebuilder's
+# empty-element set so both paths agree on parentage.
+_VOID_TAGS = frozenset({
+    "area", "base", "basefont", "bgsound", "br", "col", "command", "embed",
+    "frame", "hr", "image", "img", "input", "isindex", "keygen", "link",
+    "menuitem", "meta", "nextid", "param", "source", "spacer", "track", "wbr",
+})
+
+
+def decode_html(raw) -> str:
+    """bytes → str, UTF-8 with replacement (reference get_words path,
+    playwrightcrawler.py:2553-2558); str passes through."""
+    if raw is None:
+        return ""
+    if isinstance(raw, (bytes, bytearray)):
+        return bytes(raw).decode("utf-8", errors="replace")
+    return raw
+
+
+class _TextAndLinkWalker(HTMLParser):
+    """One-pass walker collecting (a) text nodes outside blocklisted parents
+    and (b) link-like attributes from a[href] / link[href] / script[src] /
+    img[src] (reference get_links_page, playwrightcrawler.py:2458-2517)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.text_parts: list[str] = []
+        self.links: list[str] = []
+        self._seen_links: set[str] = set()
+
+    # -- tree maintenance ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        self._harvest_link(tag, attrs)
+        if tag not in _VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self._harvest_link(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in self.stack:
+            while self.stack:
+                if self.stack.pop() == tag:
+                    break
+
+    # -- payloads -----------------------------------------------------------
+    def handle_data(self, data):
+        parent = self.stack[-1] if self.stack else "[document]"
+        if parent not in TAG_BLOCKLIST:
+            self.text_parts.append(data)
+
+    def _harvest_link(self, tag, attrs):
+        want = "href" if tag in ("a", "link") else "src" if tag in ("script", "img") else None
+        if want is None:
+            return
+        for name, value in attrs:
+            if name == want and isinstance(value, str):
+                if value not in self._seen_links:
+                    self._seen_links.add(value)
+                    self.links.append(value)
+                return
+
+
+def _walk(html: str) -> _TextAndLinkWalker:
+    w = _TextAndLinkWalker()
+    try:
+        w.feed(html)
+        w.close()
+    except Exception:  # malformed markup must never kill a batch
+        pass
+    return w
+
+
+def extract_text(raw, max_size: int = config.MAX_WEBCONTENT_SIZE) -> str:
+    """Visible-text extraction — the per-url byte-identical invariant.
+
+    Semantics (reference get_min_webcontent, playwrightcrawler.py:3733-3768):
+    text nodes with non-blocklisted parent tag, each ``str.strip``-ed,
+    empties dropped, joined with one space; result truncated to
+    ``max_size`` chars (reference :3437-3439).
+    """
+    html = decode_html(raw)
+    if not html:
+        return ""
+    if _HAVE_BS4:
+        soup = BeautifulSoup(html, "html.parser")
+        parts = [
+            t.strip()
+            for t in soup.find_all(string=True)
+            if t.parent.name not in TAG_BLOCKLIST
+        ]
+    else:
+        parts = [t.strip() for t in _walk(html).text_parts]
+    combined = " ".join(p for p in parts if p)
+    return combined[:max_size]
+
+
+def extract_links(raw) -> list[str]:
+    """Raw, unresolved link attributes in first-seen order (the reference
+    browser walk dedups via a set with no order guarantee; first-seen order
+    makes the distributed run reproducible)."""
+    html = decode_html(raw)
+    if not html:
+        return []
+    if _HAVE_BS4:
+        soup = BeautifulSoup(html, "html.parser")
+        out, seen = [], set()
+        for tag, attr in (("a", "href"), ("link", "href"), ("script", "src"), ("img", "src")):
+            for el in soup.find_all(tag):
+                v = el.get(attr)
+                if isinstance(v, str) and v not in seen:
+                    seen.add(v)
+                    out.append(v)
+        return out
+    return _walk(html).links
+
+
+# ---------------------------------------------------------------------------
+# Word extraction (reference extract_top_words_from_text,
+# playwrightcrawler.py:4309-4339)
+# ---------------------------------------------------------------------------
+
+_NON_WORD = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def top_words(
+    text: str,
+    *,
+    remove_special: bool = config.WORDS_REMOVE_SPECIAL_CHARS,
+    to_lower: bool = config.WORDS_TO_LOWER,
+    min_len: int = config.WORDS_MIN_LEN,
+    max_len: int = config.WORDS_MAX_LEN,
+    max_words: int = config.WORDS_MAX_WORDS,
+) -> list[str]:
+    """Top-k most frequent tokens. Parity notes: the length filter's lower
+    bound is STRICT (len > min_len); ties are broken by first-insertion
+    order, which ``Counter.most_common`` guarantees and ``sort_array``
+    cannot — hence this stays a Python kernel."""
+    if not text:
+        return []
+    if remove_special:
+        text = _NON_WORD.sub(" ", text)
+    if to_lower:
+        text = text.lower()
+    words = [w for w in text.split() if min_len < len(w) <= max_len]
+    return [w for w, _ in Counter(words).most_common(max_words)]
+
+
+def words_from_html(raw) -> list[str]:
+    """Reference get_words_from_soup (playwrightcrawler.py:2199-2232):
+    same DOM walk but parts joined UNSTRIPPED (differs from extract_text),
+    then ranked by ``top_words``."""
+    html = decode_html(raw)
+    if not html:
+        return []
+    if _HAVE_BS4:
+        soup = BeautifulSoup(html, "html.parser")
+        parts = [t for t in soup.find_all(string=True) if t.parent.name not in TAG_BLOCKLIST]
+    else:
+        parts = _walk(html).text_parts
+    return top_words(" ".join(parts))
+
+
+# ---------------------------------------------------------------------------
+# Open-directory detection (reference is_open_directory,
+# playwrightcrawler.py:4184-4307). Returns WHICH pattern matched (first hit),
+# so this cannot be a plain rlike column.
+# ---------------------------------------------------------------------------
+
+# Static fingerprints of public directory-listing generators, first match
+# wins. Two host-interpolated patterns are built per call below.
+_OPENDIR_STATIC = [
+    r"<title>Index of /",                                   # Apache title
+    r"<h1>Index of /",                                      # Apache H1
+    r"\[To Parent Directory\]</A>",                         # IIS
+    # (host-interpolated lighttpd pattern inserted at runtime: slot 3)
+    r"_sort=\'name\';SortDirsAndFilesName\(\)",             # h5ai sort js
+    r'<body[^>]*class="[^"]*dufs[^"]*"',                    # DUFS body
+    r"<footer[^>]*>Generated by dufs",                      # DUFS footer
+    r'<script[^>]*src="[^"]*dufs[^"]*"',                    # DUFS script
+    r'<div class="breadcrumbs">Folder Path</div>',
+    r'<th><a href="\?C=N;O=D">Name</a></th><th><a href="\?C=M;O=A">Last modified</a'
+    r'></th><th><a href="\?C=S;O=A">Size</a></th><th><a href="\?C=D;O=A">Descriptio'
+    r"n</a></th>",
+    r'<table class="sortable">\s*<thead>\s*<tr>\s*<th>Name\s*</th>\s*<th>Size\s*</t'
+    r"h>\s*<th>Uploaded\s*</th>\s*<th>\s*</th>\s*</tr>",
+    r"<title>Directory Listing</title>",
+    r"<h1>Listing of /",
+    r'Powered by <a class="autoindex_a" href="http://autoindex.sourceforge.net/">Au'
+    r"toIndex PHP Script</a>",
+    r'<a href="\?C=N;O=D">\s*Name\s*</a>\s*<a href="\?C=M;O=A">\s*Last modified\s*<'
+    r'/a>\s*<a href="\?C=S;O=A">\s*Size\s*</a>\s*<a href="\?C=D;O=A">\s*Description'
+    r"\s*</a>",
+    r'<a href="\?C=N&amp;O=A">\s*File Name\s*</a>\s*&nbsp;\s*<a href="\?C=N&amp;O=D'
+    r'">\s*&nbsp;&darr;&nbsp;\s*</a></th>\s*<th style="width:20%">\s*<a href="\?C=S'
+    r'&amp;O=A">\s*File Size\s*</a>\s*&nbsp;\s*<a href="\?C=S&amp;O=D">\s*&nbsp;&da'
+    r"rr;&nbsp;\s*</a>",
+    r'<a href="\?C=N&amp;O=A">\s*File Name\s*</a>\s*(?:&nbsp;| )\s*<a href="\?'
+    r'C=N&amp;O=D">\s*(?:&nbsp;| )?(?:&darr;|↓)(?:&nbsp;| )?\s*</a>['
+    r'\s\S]*?<a href="\?C=S&amp;O=A">\s*File Size\s*</a>\s*(?:&nbsp;| )\s*<a h'
+    r'ref="\?C=S&amp;O=D">\s*(?:&nbsp;| )?(?:&darr;|↓)(?:&nbsp;| )?\s*</a>',
+    r'<meta\s+name="generator"\s+content="AList V\d+"\s*/?>',
+    r'<meta\scontent="AList V\d+"\sname="generator"/?>',
+    r'<div\s+id=["\']idx["\']>\s*<!--\s*do not remove\s*-->',
+    r'<tr[^>]*class=["\']indexhead["\'][^>]*>.*Name.*Last modified.*Size.*Description',
+    r'<pre>(?:\s*\d{1,2}/\d{1,2}/\d{4}\s+\d{1,2}:\d{2}\s+(?:AM|PM)?\s+\d+'
+    r'\s+<a href="[^"]+">[^<]+</a>\s*<br>\s*){2,}</pre>',
+    # (host-interpolated bare-host pattern inserted at runtime: slot 21)
+    r'<meta\s+name=["\']description["\']\s+content=["\']Yet another directory listing,'
+    r' powered by Directory Lister\.["\']\s*/?>',
+    r'<meta\scontent="Yet\sanother\sdirectory\slisting,\spowered\sby\sDirectory\sLister\.'
+    r'"\sname="description"/>',
+    r"<title>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\s*-\s*/</title>",
+    r"<title>Index of .*?</title>",
+    r"<h1>Index of .*?</h1>",
+    r"<h1>文件索引.*?</h1>",
+    r"Directory listing for .*",
+    r"<ListBucketResult\s+xmlns=[\'\"].*?[\'\"]>",
+    r'<tr\s+class=["\']indexhead["\']>\s*<th\s+class=["\']indexcolicon'
+    r'["\']>\s*<img\s+src=["\']/icons/blank\.gif["\']\s+alt=["\']\[ICO\]'
+    r'["\']\s*/?>\s*</th>\s*<th\s+class=["\']indexcolname["\']>\s*<a\s+'
+    r'href=["\']\?C=N;O=A["\']>\s*Name\s*</a>\s*</th>\s*<th\s+class='
+    r'["\']indexcollastmod["\']>\s*<a\s+href=["\']\?C=M;O=A["\']>\s*La'
+    r'st\s+modified\s*</a>\s*</th>\s*<th\s+class=["\']indexcolsize["\']'
+    r'>\s*<a\s+href=["\']\?C=S;O=A["\']>\s*Size\s*</a>\s*</th>\s*</tr>',
+    r"\.calibreRangeWrapper",
+    r'<body\sstyle="font-size:medium">[a-z]*\sFolder\s*\t*<a\shref="/list\?dir=1">',
+    r'<img\s+[^>]*alt="\[PARENTDIR\]"[^>]*>',
+    r'<img\s+[^>]*alt="\[DIR\]"[^>]*>',
+    r'\.\.\/">Parent Directory<\/a>',
+    r'\.\.\/">Parent directory\/<\/a>',
+    r'<a href="\.\./">\.\./</a>',
+    r"https:\/\/github\.com\/DirectoryLister\/DirectoryLister",
+    r"<h1>Directory \/",
+    r"powered by h5ai",
+    r"<h1>Directory: \/",
+    r"<hr>Directory Listing Script &copy;",
+    r'<a href="\.\.\/">Parent directory\/<\/a>',
+    r'<a href="\?C=N&O=A">Name<\/a>',
+    r'<a href="\?C=N;O=A">Name</a>',
+    r'<a href="\?C=N;O=D">Name</a>',
+    r'<a href="\?C=N&O=D">Name&nbsp; &#8679;<\/a>',
+    r'<a href="\?C=M;O=A">Last modified</a>',
+    r'<a href="\.\.\/\?C=N&amp;O=D">Parent directory\/<\/a>',
+    r'<td align="center" class="powered">Powered'
+    r' by <a href="https://www.pcloud.com/">pCloud</a></td>',
+    r"<h2>Directory listing of /</h2>",
+    r'<a href="\?srt=size"><b>Размер</b></a>',
+    r"<title>Directory listing of http",
+    r'<input type="search" id="search" value=""'
+    r' class="form-control search" placeholder="Nom du fichier">',
+    r'<td><a href="\?dir=\.">Parent Directory<\/a>',
+    r'<a href="https://github\.com/DirectoryLister/DirectoryLister"',
+]
+
+_OPENDIR_COMPILED = [re.compile(p, re.IGNORECASE) for p in _OPENDIR_STATIC]
+# positions (within the final ordered list) of the two host-aware patterns
+_HOST_SLOT_LIGHTTPD = 3   # after the IIS pattern
+_HOST_SLOT_BAREHOST = 21  # after the <pre> IIS-ish table pattern
+
+
+def is_open_directory(content: str, content_url: str) -> tuple[bool, str]:
+    """(is_opendir, first matching pattern-source) over the fingerprint
+    table; ('' when none). Order matches the reference list so "which
+    pattern matched" is comparable."""
+    if not content:
+        return False, ""
+    host = urlsplit(content_url)[1]
+    hostnp = host.split(":")[0]
+    lighttpd = re.compile(r"<title>" + re.escape(host) + r" - /</title>", re.IGNORECASE)
+    barehost = re.compile(
+        r"<html><head><title>" + hostnp + r" - /[^<]*</title></head><body>"
+        r"<h1>" + hostnp + r" - /[^<]*</h1>",
+        re.IGNORECASE,
+    )
+    ordered: list[re.Pattern] = []
+    for i, pat in enumerate(_OPENDIR_COMPILED):
+        if i == _HOST_SLOT_LIGHTTPD:
+            ordered.append(lighttpd)
+        if i == _HOST_SLOT_BAREHOST:
+            ordered.append(barehost)
+        ordered.append(pat)
+    for pat in ordered:
+        if pat.search(content):
+            return True, pat.pattern
+    return False, ""

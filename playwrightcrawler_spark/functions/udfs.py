@@ -1,0 +1,150 @@
+"""Arrow-vectorized pandas UDFs — the ONLY Python that runs on executors.
+
+Each UDF wraps a pure kernel from ``urltools`` / ``textextract``; everything
+else in the engine is built-in Spark SQL. Per BASELINE.json ``input_hint``:
+vectorized pandas/Arrow UDFs only, no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from playwrightcrawler_spark.functions import textextract, urltools
+
+# --------------------------------------------------------------------------
+# URL layer
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    """sanitize_url over an Arrow batch (parity kernel P1)."""
+    return urls.map(urltools.sanitize_url, na_action="ignore").fillna("")
+
+
+@pandas_udf(T.BooleanType())
+def has_repeated_segments(urls: pd.Series) -> pd.Series:
+    """Crawler-trap detector (parity kernel P4). Pre-filter cheap cases in
+    SQL first: ``size(split(parse_url(url,'PATH'),'/')) > 3``."""
+    return urls.map(
+        lambda u: urltools.has_repeated_segments(u) if isinstance(u, str) else False
+    )
+
+
+@pandas_udf(T.StringType())
+def url_sha256(urls: pd.Series) -> pd.Series:
+    """Reference `_id` parity (sha256 hex). The engine's 64-bit key is
+    ``F.xxhash64`` — JVM-side, no UDF."""
+    return urls.map(urltools.url_sha256, na_action="ignore")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def directory_tree(urls: pd.Series) -> pd.Series:
+    """Parent-directory expansion for open-dir hunting (P16)."""
+    return urls.map(urltools.get_directory_tree, na_action="ignore")
+
+
+_QS_SCHEMA = T.StructType([
+    T.StructField("has_query", T.BooleanType()),
+    T.StructField("query_variables", T.ArrayType(T.StringType())),
+    T.StructField("query_values", T.ArrayType(T.StringType())),
+])
+
+
+@pandas_udf(_QS_SCHEMA)
+def parse_query(urls: pd.Series) -> pd.DataFrame:
+    """Exact CPython parse_qs decomposition (P14 parity; the pure-SQL
+    variant lives in sqlfns.query_* and is cross-checked in tests)."""
+    rows = [urltools.parse_query(u) if isinstance(u, str) else (False, [], []) for u in urls]
+    return pd.DataFrame(rows, columns=["has_query", "query_variables", "query_values"])
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def resolve_links(parent_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
+    """urljoin each discovered href against its page URL (U1)."""
+
+    def _resolve(parent, links):
+        if links is None or parent is None:
+            return []
+        out = []
+        for h in links:
+            try:
+                out.append(urltools.resolve_link(parent, h))
+            except ValueError:
+                continue
+        return out
+
+    return pd.Series([_resolve(p, l) for p, l in zip(parent_urls, hrefs)])
+
+
+@pandas_udf(T.StringType())
+def extract_email(urls: pd.Series) -> pd.Series:
+    """mailto-and-misspellings address extraction (U3); null when invalid."""
+    return urls.map(urltools.extract_email, na_action="ignore")
+
+
+# --------------------------------------------------------------------------
+# Extraction layer (html binary → …)
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """THE byte-identical invariant (E1): html bytes → visible text."""
+    return html.map(textextract.extract_text, na_action="ignore").fillna("")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """Raw hrefs/srcs from a/link/script/img (E4 harvest)."""
+    return html.map(textextract.extract_links, na_action="ignore")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def top_words(texts: pd.Series) -> pd.Series:
+    """Per-document top-24k token list (E5; Counter tiebreak parity)."""
+    return texts.map(textextract.top_words, na_action="ignore")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def words_from_html(html: pd.Series) -> pd.Series:
+    """E2+E5: word list straight from html bytes."""
+    return html.map(textextract.words_from_html, na_action="ignore")
+
+
+_OPENDIR_SCHEMA = T.StructType([
+    T.StructField("isopendir", T.BooleanType()),
+    T.StructField("opendir_pattern", T.StringType()),
+])
+
+
+@pandas_udf(_OPENDIR_SCHEMA)
+def open_dir(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
+    """Open-directory fingerprinting (E6) — returns which pattern matched."""
+    rows = []
+    for h, u in zip(html, urls):
+        content = textextract.decode_html(h)
+        rows.append(textextract.is_open_directory(content, u or ""))
+    return pd.DataFrame(rows, columns=["isopendir", "opendir_pattern"])
+
+
+# --------------------------------------------------------------------------
+# Convenience wrappers used by the engine
+# --------------------------------------------------------------------------
+
+
+def with_extraction(df, html_col: str = "html", url_col: str = "url"):
+    """Append text/words/links/opendir columns to a pages-shaped frame in one
+    projection so all four UDFs share a single Arrow transfer of ``html``."""
+    od = open_dir(F.col(html_col), F.col(url_col))
+    return df.select(
+        "*",
+        extract_text(F.col(html_col)).alias("text_extracted"),
+        words_from_html(F.col(html_col)).alias("words"),
+        extract_links(F.col(html_col)).alias("raw_links"),
+        od.getField("isopendir").alias("isopendir"),
+        od.getField("opendir_pattern").alias("opendir_pattern"),
+    )
