@@ -374,4 +374,4 @@ def expected_route_for_extension_col(ext: Column) -> Column:
     """Map file_extension → expected route ('' when unmapped); used for the
     extension↔content-type consistency check (reference :2794-2801)."""
     mapping = F.create_map(*[F.lit(x) for kv in EXTENSION_ROUTE.items() for x in kv])
-    return F.coalesce(mapping.getItem(F.lower(ext)), F.lit(""))
+    return F.coalesce(F.element_at(mapping, F.lower(ext)), F.lit(""))

@@ -1,0 +1,213 @@
+"""Dataset deduplication suite — the training-data-pipeline operators.
+
+The reference's only dedup is identity-keyed (`_id = sha256(url)`,
+J1/J5). A 100 TB corpus additionally needs *content* dedup; this module
+provides the standard ladder, each as composable DataFrame ops:
+
+- exact:        hash-groupBy on normalized text
+- MinHash+LSH:  shingle → K minhashes → bands → bucket self-join
+- SimHash:      64-bit vote hash (pandas UDF), hamming-band candidates
+- n-gram Jaccard: verified similarity on candidate pairs
+- embedding cosine: near-dup by vector similarity (see similarity.py)
+
+Portability note: the hash primitive everywhere is md5 (identical across
+Spark and DuckDB) so each operator has an exact SQL oracle. At production
+scale you'd swap md5 → xxhash64 (same shape, 8× faster); the structure —
+explode → partial agg → band join — is what matters for scale: every step
+is map-side-combinable and the only shuffle is on (band_key) whose
+cardinality is bounded by the corpus, with skew bounded by band width.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text, min_len: int = 1):
+    """lower → split on non-alnum → drop empties. Mirrors the DuckDB oracle
+    ``regexp_split_to_array(lower(text),'[^a-z0-9]+')`` exactly."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT)
+    return F.filter(toks, lambda t: F.length(t) >= min_len)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_text(text):
+    """Whitespace-collapsed, lower-cased canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per distinct normalized text. One shuffle on the
+    16-byte digest; map-side combine makes it linear at any scale."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """K independent min-hashes per document: explode tokens once, take
+    ``min(md5(seed || token))`` per seed. All K minimums come out of ONE
+    groupBy (K partial aggregates), so cost is one shuffle regardless of K."""
+    toks = (
+        df.select(id_col, F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(s) + ":"), F.col("tok")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Band the signature, self-join on band key. Returns (id_a, id_b)
+    with id_a < id_b. The join key is md5(band) → uniform, skew-free."""
+    rows = num_hashes // bands
+    banded = sig
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        banded = banded.withColumn(f"band{b}", F.md5(F.concat_ws("|", *cols)))
+        band_cols.append(f"band{b}")
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[F.col(c) for c in band_cols])).alias("band_key"),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(right, on="band_key")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def shingles_col(text, n: int = 3):
+    """Distinct word n-gram shingles (space-joined). Guarded: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING [1,0], so short docs get an
+    explicit empty array."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; the LSH recall filter never
+    decides alone (same pre-filter/exact-confirm split as the Bloom seen-set)."""
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), n).alias("sh"))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas UDF — bit votes aren't SQL-friendly; Spark-only path)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash with md5-derived token hashes (deterministic across
+    runs/platforms). Near-dups differ in few bits; pair finding buckets on
+    16-bit chunks (4 bands → hamming distance <= 3 guaranteed recall)."""
+
+    def _one(text):
+        if not isinstance(text, str) or not text:
+            return 0
+        votes = [0] * 64
+        import re as _re
+
+        for tok in _re.split("[^a-z0-9]+", text.lower()):
+            if not tok:
+                continue
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                v |= 1 << bit
+        return v - (1 << 64) if v >= (1 << 63) else v  # to signed long
+
+    return texts.map(_one)
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Bucket on each of the four 16-bit chunks; pairs sharing any chunk are
+    candidates (catch all pairs with hamming distance <= 3)."""
+    sig = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
+    chunks = F.array(*[
+        F.concat(
+            F.lit(f"c{i}:"),
+            F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+        )
+        for i in range(4)
+    ])
+    stacked = sig.select(id_col, "sim", F.explode(chunks).alias("chunk"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    return (
+        l.join(r, "chunk")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )

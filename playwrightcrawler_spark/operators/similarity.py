@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — one scan, one narrow shuffle for the
+global top-k (TakeOrdered), no UDF: the dot product is
+``aggregate(zip_with(...))`` inside codegen.
+
+Scale path: LSH bucketing by random-hyperplane signature. Signatures are
+computed vectorized (numpy via one pandas UDF); queries probe only their
+bucket (and neighbor buckets), turning O(N) scans into O(N / 2^bits).
+At 100 TB you'd persist the signature as a bucketed table column so probes
+prune partitions; here the bucketing is a groupBy key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return df.withColumn("cosine", sim)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: scan + TakeOrdered (per-partition top-k then merge —
+    no full sort, no wide shuffle)."""
+    return (
+        cosine_to_query(df, query_vec, vec_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def make_signature_udf(dim: int, bits: int = 12, seed: int = 42):
+    """Vectorized hyperplane-sign signature: one matmul per Arrow batch."""
+    planes = _planes(dim, bits, seed)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits_m = (mat @ planes.T) > 0
+        return pd.Series(bits_m @ weights)
+
+    return signature
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``multiprobe`` bit flips, exact cosine inside the probed set."""
+    dim = len(query_vec)
+    sig_udf = make_signature_udf(dim, bits, seed)
+    with_sig = df.withColumn("bucket", sig_udf(F.col(vec_col)))
+
+    planes = _planes(dim, bits, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    qsig = int(qbits @ weights)
+    probes = {qsig}
+    if multiprobe >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(bits)}
+    if multiprobe >= 2:
+        probes |= {
+            qsig ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        }
+
+    return (
+        brute_force_topk(
+            with_sig.filter(F.col("bucket").isin(list(probes))),
+            query_vec, k, id_col, vec_col,
+        )
+    )
+
+
+def pairwise_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket by signature, exact cosine within
+    buckets only (the O(N²) join never materializes across buckets)."""
+    dim = len(df.select(F.size(vec_col)).first()[0])
+    sig_udf = make_signature_udf(dim, bits, seed)
+    with_sig = df.select(id_col, vec_col).withColumn("bucket", sig_udf(F.col(vec_col)))
+    l = with_sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    r = with_sig.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,110 @@
+"""Text analytics for a training-data pipeline: language ID, quality
+scoring, token counting, fingerprinting. All pure SQL (portable to the
+DuckDB oracle verbatim) — the point at 100 TB is that none of this leaves
+codegen or shuffles more than one agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.operators.dedup import normalize_text, tokens_col
+
+# Tiny, fixed stopword anchors per language — a deterministic n-gram/stopword
+# heuristic (not a model): hit ratios decide. Good enough to exercise the
+# operator shape; swap lists for fastText-style profiles in production.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "this"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "für", "nicht"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+
+def _hits(toks, words: list[str]):
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predicted language by stopword-hit ratio; CJK detected by codepoint
+    share. Deterministic ties broken by fixed language order."""
+    toks = tokens_col(F.col(text_col))
+    total = F.greatest(F.size(toks), F.lit(1))
+    ratios = {
+        lang: _hits(toks, words).cast("double") / total
+        for lang, words in STOPWORDS.items()
+    }
+    cjk = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", "")).cast("double")
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    df2 = df.select(id_col, *[F.round(ratios[l], 6).alias(f"ratio_{l}") for l in STOPWORDS],
+                    F.round(cjk, 6).alias("ratio_cjk"))
+    best = F.greatest(*[F.col(f"ratio_{l}") for l in STOPWORDS])
+    pred = F.when(F.col("ratio_cjk") > 0.05, "zh")
+    for lang in STOPWORDS:  # fixed order => deterministic tie-break
+        pred = pred.when((F.col(f"ratio_{lang}") == best) & (best > 0), lang)
+    return df2.withColumn("pred_lang", pred.otherwise("unknown"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / mean-word-length / stopword-density features +
+    a composite keep/drop flag (the C4-style cheap filter)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    mean_word_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tokens,
+    ).otherwise(0.0)
+    punct_ratio = (
+        F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1))
+    )
+    stop_ratio = (
+        _hits(toks, STOPWORDS["en"]).cast("double") / F.greatest(n_tokens, F.lit(1))
+    )
+    keep = (
+        (n_chars >= 100)
+        & (n_tokens >= 20)
+        & (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+        & (punct_ratio <= 0.2)
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Corpus token accounting per group: whitespace tokens and BPE-ish
+    subword estimate (4 chars/token heuristic) — the budget numbers a
+    training pipeline actually tracks."""
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe_est = F.ceil(F.length(F.col(text_col)).cast("double") / 4.0)
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(ws_tokens).cast("long").alias("ws_tokens"),
+            F.sum(bpe_est).cast("long").alias("bpe_tokens_est"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical content fingerprint (md5 of whitespace-collapsed lowercase
+    text) — the join key for cross-snapshot dedup."""
+    return df.select(
+        id_col,
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )

@@ -1,0 +1,311 @@
+"""DuckDB oracle SQL for every SQL-expressible entry in queries.py.
+
+Each statement is written against the pre-registered views (region nation
+customer supplier part orders lineitem events documents embeddings) and
+must produce the SAME column names, types and values as the Spark query.
+Portability notes applied throughout:
+
+- DuckDB regexp_replace needs the 'g' flag (Spark is global by default);
+- len()/count() are BIGINT (Spark sizes cast to long to match);
+- sum(BIGINT) is HUGEINT in DuckDB → CAST AS BIGINT;
+- timestamps compared as epoch_us();
+- md5() is the shared deterministic hash.
+"""
+
+from __future__ import annotations
+
+# token split shared with operators.dedup.TOKEN_SPLIT
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) >= 1)"
+_TOKS4 = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> length(t) >= 4)"
+
+_MINHASH_AGGS = ", ".join(
+    f"min(md5('{s}:' || tok)) AS h{s}" for s in range(8)
+)
+
+_DOCS_WITH_COPIES = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+)
+
+_SIG_SQL = f"""
+    tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM corpus
+    ),
+    sig AS (
+        SELECT doc_id, {_MINHASH_AGGS} FROM tok GROUP BY doc_id
+    ),
+    band AS (
+        SELECT doc_id, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_key FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM band l JOIN band r USING (band_key)
+        WHERE l.doc_id < r.doc_id
+    )
+"""
+
+_STOP = {
+    "en": "['the','and','of','to','in','is','that','for','with','this']",
+    "fr": "['le','la','les','et','de','des','un','une','est','pour']",
+    "de": "['der','die','das','und','ist','ein','eine','mit','für','nicht']",
+    "es": "['el','la','los','las','y','de','un','una','es','para']",
+}
+
+_RATIOS = ", ".join(
+    f"round(len(list_filter(toks, t -> list_contains({lst}, t)))::DOUBLE"
+    f" / greatest(len(toks), 1), 6) AS ratio_{lang}"
+    for lang, lst in _STOP.items()
+)
+
+_COSINE = (
+    "round(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+ORACLES: dict[str, str] = {
+    # ----------------------------------------------------------- relational
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS order_count
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name, c_mktsegment
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # ------------------------------------------------------------- frontier
+    "frontier_oldest_per_host": """
+        WITH r AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM r WHERE rn = 1
+        ORDER BY ts_us, event_id
+        LIMIT 100
+    """,
+    "frontier_fewest_urls": """
+        WITH c AS (SELECT user_id, count(*) AS n_urls FROM events GROUP BY user_id),
+             f AS (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+             )
+        SELECT f.user_id, f.event_id, c.n_urls
+        FROM f JOIN c USING (user_id)
+        WHERE rn = 1
+        ORDER BY n_urls, user_id
+        LIMIT 50
+    """,
+    "frontier_random_pivot": """
+        WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+             flt AS (
+                SELECT user_id, event_id FROM events, b
+                WHERE epoch_us(ts) >= lo + CAST(floor(0.5 * (hi - lo)) AS BIGINT)
+             ),
+             r AS (
+                SELECT user_id, event_id,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ) AS rn
+                FROM flt
+             )
+        SELECT user_id, event_id FROM r WHERE rn = 1
+        ORDER BY md5(CAST(event_id AS VARCHAR))
+        LIMIT 100
+    """,
+    "seen_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "minmax_timestamp": """
+        SELECT epoch_us(min(ts)) AS min_ts_us,
+               epoch_us(max(ts)) AS max_ts_us,
+               count(*) AS n_docs
+        FROM events
+    """,
+    "latest_per_host": """
+        WITH r AS (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id, rn FROM r WHERE rn <= 3
+    """,
+    # -------------------------------------------------------- distributions
+    "distribution_by_type": """
+        SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "docs_by_lang": """
+        SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY lang
+    """,
+    "cleanup_rules": """
+        SELECT coalesce(
+                 CASE WHEN n_chars < 150 THEN 'too_short'
+                      WHEN lang NOT IN ('en','fr','de','es','zh') THEN 'bad_lang'
+                      WHEN regexp_matches(text, '(?i)lorem ipsum') THEN 'boilerplate'
+                 END, 'kept') AS drop_reason,
+               count(*) AS n
+        FROM documents
+        GROUP BY 1
+    """,
+    "topk_words": f"""
+        WITH toks AS (SELECT unnest({_TOKS4}) AS word FROM documents)
+        SELECT word, count(*) AS cnt FROM toks
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 100
+    """,
+    # ---------------------------------------------------------------- dedup
+    "exact_dedup": f"""
+        WITH corpus AS ({_DOCS_WITH_COPIES}),
+             fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+                FROM corpus
+             ),
+             r AS (
+                SELECT doc_id, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM fp
+             )
+        SELECT doc_id, fingerprint FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+    "minhash_signatures": f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+             tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM corpus)
+        SELECT doc_id, {_MINHASH_AGGS} FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH corpus AS ({_DOCS_WITH_COPIES}),
+        {_SIG_SQL}
+        SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
+    """,
+    "ngram_jaccard": f"""
+        WITH corpus AS ({_DOCS_WITH_COPIES}),
+        {_SIG_SQL},
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len({_TOKS}) >= 3 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len({_TOKS}) - 2),
+                           i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' ')
+                       ))
+                   ELSE [] END AS sh
+            FROM corpus
+        ),
+        j AS (
+            SELECT p.id_a, p.id_b,
+                   len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+                   len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b
+        )
+        SELECT id_a, id_b,
+               round(CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0.0 END, 6) AS jaccard
+        FROM j
+        WHERE (CASE WHEN uni > 0 THEN inter::DOUBLE / uni ELSE 0.0 END) >= 0.8
+        ORDER BY id_a, id_b
+    """,
+    # ----------------------------------------------------------- similarity
+    "embedding_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             s AS (
+                SELECT vec_id,
+                       list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(qv, qv))) AS c
+                FROM embeddings, q
+             )
+        SELECT vec_id, round(c, 6) AS cosine
+        FROM s ORDER BY cosine DESC, vec_id LIMIT 20
+    """,
+    "embedding_near_dup": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 150
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE} AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+    """,
+    # ------------------------------------------------------- text analytics
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+             r AS (
+                SELECT doc_id, {_RATIOS},
+                       round(length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+                             / greatest(length(text), 1), 6) AS ratio_cjk
+                FROM t
+             )
+        SELECT doc_id, ratio_en, ratio_fr, ratio_de, ratio_es, ratio_cjk,
+               CASE WHEN ratio_cjk > 0.05 THEN 'zh'
+                    WHEN ratio_en = greatest(ratio_en, ratio_fr, ratio_de, ratio_es)
+                         AND greatest(ratio_en, ratio_fr, ratio_de, ratio_es) > 0 THEN 'en'
+                    WHEN ratio_fr = greatest(ratio_en, ratio_fr, ratio_de, ratio_es)
+                         AND greatest(ratio_en, ratio_fr, ratio_de, ratio_es) > 0 THEN 'fr'
+                    WHEN ratio_de = greatest(ratio_en, ratio_fr, ratio_de, ratio_es)
+                         AND greatest(ratio_en, ratio_fr, ratio_de, ratio_es) > 0 THEN 'de'
+                    WHEN ratio_es = greatest(ratio_en, ratio_fr, ratio_de, ratio_es)
+                         AND greatest(ratio_en, ratio_fr, ratio_de, ratio_es) > 0 THEN 'es'
+                    ELSE 'unknown'
+               END AS pred_lang
+        FROM r ORDER BY doc_id
+    """,
+    "quality_scores": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+             f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(toks) AS n_tokens,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS mwl,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1) AS pr,
+                       len(list_filter(toks, x -> list_contains({_STOP['en']}, x)))::DOUBLE
+                         / greatest(len(toks), 1) AS sr
+                FROM t
+             )
+        SELECT doc_id, n_chars, n_tokens,
+               round(mwl, 6) AS mean_word_len,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               (n_chars >= 100 AND n_tokens >= 20
+                AND mwl >= 2.0 AND mwl <= 12.0 AND pr <= 0.2) AS keep
+        FROM f ORDER BY doc_id
+    """,
+    "token_counts": """
+        SELECT lang,
+               count(*) AS docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+               CAST(sum(CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT)) AS BIGINT) AS bpe_tokens_est
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "fingerprints": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,409 @@
+"""Named queries for the driver contract (__spark_entry__.queries()).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; every entry
+maps to an operator family from SURVEY.md §2 (tag in the docstring) and —
+when SQL-expressible — has a DuckDB oracle in ``oracles.py`` with
+IDENTICAL column names and types. Determinism rules used throughout:
+
+- randomness → md5-based ordering (identical string function both engines);
+- ties → explicit secondary sort keys;
+- counts/sizes cast to long (DuckDB len()/count() are BIGINT);
+- float aggregates rounded AFTER aggregation;
+- timestamps compared as unix microseconds.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.operators import dedup, multimodal, similarity, textstats
+from playwrightcrawler_spark.operators.dedup import tokens_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Generic relational / TPC-H-ish (scan, agg, join, window, sort — S/A/O ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """[A-ops] groupBy-agg with partial aggregation; the generic pricing
+    summary over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """[J-ops] broadcast-joinable dim join + top-k."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_count"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frontier scheduling (F1-F4, J3, O1-O3) on events as the frontier analogue:
+# user_id ≙ host, event_id ≙ url, ts ≙ discovered_at.
+# ---------------------------------------------------------------------------
+
+def q_frontier_oldest_per_host(spark, sf_dir):
+    """[F1/J3/O1] oldest URL per host, globally oldest-first, limit."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+        .orderBy("ts_us", "event_id")
+        .limit(100)
+    )
+
+
+def q_frontier_fewest_urls(spark, sf_dir):
+    """[F4-fixed] the method the reference weighted but never wired:
+    prefer least-known hosts."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_urls"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+    return (
+        first.join(counts, "user_id")
+        .orderBy("n_urls", "user_id")
+        .limit(50)
+        .select("user_id", "event_id", "n_urls")
+    )
+
+
+def q_frontier_random_pivot(spark, sf_dir):
+    """[F2/F6/O3] random-timestamp pivot + one pseudo-random URL per host +
+    shuffle — randomness replaced by md5 ordering for cross-engine
+    determinism (reference uses unseeded random; SURVEY.md §5.2)."""
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min(F.unix_micros(F.col("ts").cast("timestamp"))), F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()
+    pivot = lo + int(0.5 * (hi - lo))
+    w = Window.partitionBy("user_id").orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    return (
+        ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) >= F.lit(pivot))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .limit(100)
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """[J1] frontier-vs-crawled anti-join: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_minmax_timestamp(spark, sf_dir):
+    """[F6/A2/A3] the pivot-bounding aggregate + table count."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("min_ts_us"),
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_latest_per_host(spark, sf_dir):
+    """[O1/O2] keyset-pagination analogue: 3 most recent URLs per host."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution studies (A4/A5) and cleanup (M1)
+# ---------------------------------------------------------------------------
+
+def q_distribution_by_type(spark, sf_dir):
+    """[A4] the README's TLD/segment distribution pattern."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_docs_by_lang(spark, sf_dir):
+    """[A4] corpus distribution by language."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def q_cleanup_rules(spark, sf_dir):
+    """[M1/A5] rule classification + per-rule deletion counters in one scan."""
+    docs = _t(spark, sf_dir, "documents")
+    reason = (
+        F.when(F.col("n_chars") < 150, "too_short")
+        .when(~F.col("lang").isin("en", "fr", "de", "es", "zh"), "bad_lang")
+        .when(F.col("text").rlike("(?i)lorem ipsum"), "boilerplate")
+    )
+    return (
+        docs.withColumn("drop_reason", reason)
+        .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("drop_reason"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_topk_words(spark, sf_dir):
+    """[A1/E5 corpus form] explode → count → top-100 with deterministic
+    tiebreak (the per-doc Counter variant is the pandas UDF, tested in
+    pytest — this is the distributed aggregation shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"), min_len=4)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (training-data ops)
+# ---------------------------------------------------------------------------
+
+def _docs_with_copies(spark, sf_dir):
+    """documents ∪ shifted copy — injects exact dups so dedup queries have
+    non-trivial output (source corpus has none)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+def q_exact_dedup(spark, sf_dir):
+    """[dedup:exact] survivors of hash-groupBy dedup over doc ∪ copy."""
+    dd = dedup.exact_dedup(_docs_with_copies(spark, sf_dir))
+    return dd.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """[dedup:minhash] 8-hash MinHash signatures (md5-min per seed)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.minhash_signatures(docs).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """[dedup:lsh] banded self-join candidates over doc ∪ copy: every doc
+    must pair with its copy."""
+    both = _docs_with_copies(spark, sf_dir)
+    sig = dedup.minhash_signatures(both)
+    return dedup.lsh_candidate_pairs(sig).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """[dedup:jaccard] exact 3-gram Jaccard verification on candidate pairs."""
+    both = _docs_with_copies(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(both))
+    return dedup.jaccard_verify(both, pairs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def q_simhash_candidates(spark, sf_dir):
+    """[dedup:simhash] (rows-only: 64-bit vote hash is a pandas UDF,
+    not SQL-expressible)."""
+    both = _docs_with_copies(spark, sf_dir).filter(
+        (F.col("doc_id") < 100) | ((F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 1_000_100))
+    )
+    return dedup.simhash_candidates(both).filter(F.col("hamming") <= 3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+
+def q_embedding_topk(spark, sf_dir):
+    """[ann:brute] exact cosine top-20 to vec_id 0 (TakeOrdered — no full
+    sort)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vec(spark, sf_dir), k=20)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """[dedup:cosine] all pairs with cosine >= 0.95 among first 150 vectors
+    (exact; the LSH-bucketed variant is q_embedding_lsh_topk)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = similarity._dot(F.col("va"), F.col("vb")) / (
+        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    )
+    return (
+        l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """[ann:lsh] (rows-only: numpy hyperplane signatures) bucketed ANN —
+    the scale path for 10^9 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=20, bits=8, multiprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Text analytics (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    """[text:langid] stopword/CJK heuristic, fully SQL-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs).select(
+        "doc_id", "ratio_en", "ratio_fr", "ratio_de", "ratio_es", "ratio_cjk", "pred_lang"
+    ).orderBy("doc_id")
+
+
+def q_quality_scores(spark, sf_dir):
+    """[text:quality] per-doc C4-style quality features + keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_scores(docs).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    ).orderBy("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    """[text:tokens] corpus token budget per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_counts(docs)
+
+
+def q_fingerprints(spark, sf_dir):
+    """[text:fingerprint] canonical md5 content fingerprints."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return textstats.fingerprints(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-domain (rows-only: run on the generated pages fixture)
+# ---------------------------------------------------------------------------
+
+def _fixture_pages(spark) -> str:
+    from playwrightcrawler_spark.sources import pages_gen
+
+    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages.parquet")
+    if not os.path.exists(path):
+        pages_gen.write_pages_fixture(path)
+    return path
+
+
+def q_crawl_wave(spark, sf_dir):
+    """[engine] one full crawl wave end-to-end on the synthetic pages
+    fixture (rows-only; pytest pins the per-url text invariant)."""
+    from playwrightcrawler_spark.crawl.engine import CrawlEngine
+    from playwrightcrawler_spark.sources import pages_gen
+
+    wh = tempfile.mkdtemp(prefix="pwc_wave_")
+    eng = CrawlEngine(spark, _fixture_pages(spark), wh, wave_size=200)
+    eng.run(1, seed_urls=pages_gen.seed_urls())
+    return eng.lake.crawled.read(spark).select(
+        "url", "route", "content_type", "isopendir", "host", "file_extension", "wave"
+    )
+
+
+def q_pages_extract(spark, sf_dir):
+    """[E1 invariant, distributed form] extracted text must equal the
+    fixture's expected text for every html page (match=true everywhere)."""
+    from playwrightcrawler_spark.functions import udfs
+
+    pages = spark.read.parquet(_fixture_pages(spark))
+    return (
+        pages.withColumn("extracted", udfs.extract_text(F.col("html")))
+        .select(
+            "url",
+            (F.col("extracted") == F.col("text")).alias("match"),
+        )
+        .filter(F.col("text") != "")
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    """[multimodal] binary → typed metadata via mapInPandas (decode stub:
+    deterministic fake decoder; plumbing is real)."""
+    pages = spark.read.parquet(_fixture_pages(spark))
+    media = pages.filter(F.col("url").rlike(r"\.(png|jpg|gif|mp4|mp3)$"))
+    return multimodal.extract_media_metadata(
+        media, bin_col="html", decoder=multimodal.fake_decode
+    ).orderBy("url")
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "frontier_oldest_per_host": q_frontier_oldest_per_host,
+    "frontier_fewest_urls": q_frontier_fewest_urls,
+    "frontier_random_pivot": q_frontier_random_pivot,
+    "seen_anti_join": q_seen_anti_join,
+    "minmax_timestamp": q_minmax_timestamp,
+    "latest_per_host": q_latest_per_host,
+    "distribution_by_type": q_distribution_by_type,
+    "docs_by_lang": q_docs_by_lang,
+    "cleanup_rules": q_cleanup_rules,
+    "topk_words": q_topk_words,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_candidates": q_simhash_candidates,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "crawl_wave": q_crawl_wave,
+    "pages_extract": q_pages_extract,
+    "media_metadata": q_media_metadata,
+}

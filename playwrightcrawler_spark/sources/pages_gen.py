@@ -1,0 +1,251 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table (FIXTURES.md A1).
+
+Schema is exactly BASELINE.json's ``input_hint``:
+    url string, warc_ts timestamp, html binary, text string, lang string
+
+``text`` is the *expected* output of the engine's extractor for that html —
+the per-url byte-identical invariant the pytest suite checks. Content is
+seeded (default 42) and exercises every routing group, the URL-hygiene
+filters, open-directory fingerprints, link resolution forms and the
+word-extraction edge cases. No external data; everything is generated here.
+
+The generator is pure Python + pyarrow (no Spark) so fixtures can be built
+in tests without a session; the bench path generates larger tables through
+the same row builder.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from playwrightcrawler_spark.functions import textextract
+
+_EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+# Binary payload prefixes per non-HTML route (magic bytes real files carry).
+_BINARY_PAYLOADS = {
+    "image_png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 64,
+    "image_jpg": b"\xff\xd8\xff\xe0" + b"\x00" * 64,
+    "image_gif": b"GIF89a" + b"\x00" * 32,
+    "pdf": b"%PDF-1.7 synthetic fixture",
+    "zip": b"PK\x03\x04" + b"\x00" * 32,
+    "gzip": b"\x1f\x8b\x08" + b"\x00" * 32,
+    "mp3": b"ID3\x04" + b"\x00" * 32,
+    "midi": b"MThd" + b"\x00" * 16,
+    "mp4": b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32,
+    "woff2": b"wOF2" + b"\x00" * 32,
+    "torrent": b"d8:announce3:urle",
+    "sqlite": b"SQLite format 3\x00" + b"\x00" * 16,
+}
+
+
+def _page_html(url: str, host: str, idx: int, links: list[str], rng: random.Random) -> bytes:
+    """An HTML page embedding the given links plus extraction edge cases."""
+    anchor_bits = "\n".join(f'<a href="{l}">link {i}</a>' for i, l in enumerate(links))
+    tie_words = f"alpha{idx % 5} beta{idx % 5} alpha{idx % 5} gamma{(idx + 1) % 5}"
+    long_word = "w" * 41  # excluded: > WORDS_MAX_LEN
+    edge = "abc abcd " + long_word + " " + "x" * 40
+    body = f"""<html><head><title>Page {idx} on {host}</title>
+<script>var tracker = "{rng.randint(0, 9999)}";</script>
+<style>.c{{color:#000}}</style>
+</head>
+<body>
+<h1>Heading {idx}</h1>
+<p>Deterministic body text for page {idx} of host {host}.
+   {tie_words} {edge}</p>
+<noscript>nojs</noscript>
+{anchor_bits}
+<img src="/static/img{idx % 3}.png">
+<script src="/static/app.js"></script>
+<link href="/static/site.css">
+</body></html>"""
+    return body.encode("utf-8")
+
+
+def _opendir_html(path: str) -> bytes:
+    rows = "\n".join(
+        f'<a href="{path}file{i}.bin">file{i}.bin</a>' for i in range(3)
+    )
+    return (
+        f"<html><head><title>Index of {path}</title></head><body>"
+        f"<h1>Index of {path}</h1>\n"
+        f'<a href="../">Parent Directory</a>\n{rows}</body></html>'
+    ).encode()
+
+
+def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
+    """Build the full fixture row list (a few hundred rows at defaults)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    ts = _EPOCH
+
+    def add(url: str, html: bytes, lang: str = "en", is_html: bool = True):
+        nonlocal ts
+        ts += timedelta(minutes=7)
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": html,
+                "text": textextract.extract_text(html) if is_html else "",
+                "lang": lang,
+            }
+        )
+
+    # --- seed graph: 3 hops, cross-host links, dead links, a mega-host ----
+    seeds = [f"https://seed{i}.example.org/" for i in range(4)]
+    for i, seed_url in enumerate(seeds):
+        host = f"seed{i}.example.org"
+        links = [
+            f"/hop1/page{i}.html",            # relative absolute-path
+            f"./hop1/rel{i}.html",            # ./ relative
+            f"../up{i}.html",                 # ../ relative
+            f"https://seed{(i + 1) % 4}.example.org/cross.html",  # cross-host
+            f"https://dead{i}.example.net/missing.html",          # dead link
+            "htpps://typo.example.com/fixme",                     # scheme typo
+            "https://mega.example.com/sec0/item0.html",           # into mega-host
+            "mailto:contact@seed.example.org",
+            "data:image/png;base64,AAAA",                         # embedded
+            "javascript:void(0)",
+            "https://www.gstatic.com/blocked.js",                 # blocked host
+            "/images/images/images/images/loop.html",             # blocked URL path
+            "/fonts/fonts/fonts/trap.css",                        # repeated-segment trap
+            "https://seed0.example.org/page#frag",                # fragment
+            "https://long.example.com/" + "a" * 4200,             # over-long
+        ]
+        add(seed_url, _page_html(seed_url, host, i, links, rng))
+
+    # hop1 + hop2 pages for each seed host (3-hop chains)
+    for i in range(4):
+        host = f"seed{i}.example.org"
+        u1 = f"https://{host}/hop1/page{i}.html"
+        add(u1, _page_html(u1, host, 10 + i, [f"/hop2/leaf{i}.html?q=v{i}&q=w{i}&empty="], rng))
+        u1b = f"https://{host}/hop1/rel{i}.html"
+        add(u1b, _page_html(u1b, host, 14 + i, ["/hop2/shared.html"], rng))
+        u1c = f"https://{host}/up{i}.html"
+        add(u1c, _page_html(u1c, host, 18 + i, [], rng))
+        u2 = f"https://{host}/hop2/leaf{i}.html?q=v{i}&q=w{i}&empty="
+        add(u2, _page_html(u2, host, 22 + i, [], rng))
+        u2b = f"https://{host}/hop2/shared.html"
+        add(u2b, _page_html(u2b, host, 26 + i, [], rng))
+        add(f"https://{host}/cross.html", _page_html(f"https://{host}/cross.html", host, 30 + i, [], rng))
+        add(f"https://{host}/page", _page_html(f"https://{host}/page", host, 34 + i, [], rng))
+
+    # mega-host: many URLs on one host → politeness quota + skew salting
+    for s in range(6):
+        for j in range(12):
+            u = f"https://mega.example.com/sec{s}/item{j}.html"
+            nxt = f"/sec{s}/item{(j + 1) % 12}.html"
+            other = f"/sec{(s + 1) % 6}/item{j}.html"
+            add(u, _page_html(u, "mega.example.com", 100 + s * 12 + j, [nxt, other], rng))
+
+    # open-directory positives (several families) + lookalike negative
+    add("https://files.example.net/pub/", _opendir_html("/pub/"))
+    add(
+        "https://iis.example.net/share/",
+        b'<html><body><pre>[To Parent Directory]</A><br></pre></body></html>',
+    )
+    add(
+        "https://s3.example.net/bucket/",
+        b'<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/"><Name>b</Name></ListBucketResult>',
+    )
+    add(
+        "https://h5ai.example.net/data/",
+        b"<html><body>powered by h5ai</body></html>",
+    )
+    add(
+        "https://notdir.example.net/article",
+        b"<html><body><p>An essay about the Index of economic freedom</p></body></html>",
+    )
+
+    # deep path (>7 segments) and deep subdomain (>7 labels)
+    deep_u = "https://a.b.c.d.e.f.g.h.deep.example.com/l1/l2/l3/l4/l5/l6/l7/l8/l9/page.html"
+    add(deep_u, _page_html(deep_u, "a.b.c.d.e.f.g.h.deep.example.com", 400, [], rng))
+
+    # non-HTML payloads: one URL per routing family
+    binaries = [
+        ("https://cdn.example.com/assets/logo.png", "image_png"),
+        ("https://cdn.example.com/assets/photo.jpg", "image_jpg"),
+        ("https://cdn.example.com/assets/anim.gif", "image_gif"),
+        ("https://docs.example.com/manual.pdf", "pdf"),
+        ("https://dl.example.com/bundle.zip", "zip"),
+        ("https://dl.example.com/dump.sql.gz", "gzip"),
+        ("https://media.example.com/song.mp3", "mp3"),
+        ("https://media.example.com/tune.mid", "midi"),
+        ("https://media.example.com/clip.mp4", "mp4"),
+        ("https://cdn.example.com/fonts/main.woff2", "woff2"),
+        ("https://tracker.example.com/seed.torrent", "torrent"),
+        ("https://data.example.com/db.sqlite", "sqlite"),
+    ]
+    for u, kind in binaries:
+        add(u, _BINARY_PAYLOADS[kind], is_html=False)
+
+    # plain-text / JSON payloads (words extracted, not HTML-walked)
+    add(
+        "https://api.example.com/data.json",
+        b'{"alpha": "value words here", "count": 42}',
+        is_html=False,
+    )
+    add(
+        "https://text.example.com/readme.txt",
+        "plain text words fixture naïve café words words\n".encode(),
+        is_html=False,
+    )
+    # broken encoding (chardet path analogue: utf-8 replacement decode)
+    add("https://broken.example.com/latin.txt", b"caf\xe9 broken bytes", is_html=False)
+
+    # extra long-tail hosts, a few pages each, random-ish interlinks
+    for h in range(n_extra_hosts):
+        host = f"tail{h:03d}.example.io"
+        for p in range(3):
+            u = f"https://{host}/p{p}.html"
+            targets = [
+                f"/p{(p + 1) % 3}.html",
+                f"https://tail{(h + 1) % n_extra_hosts:03d}.example.io/p0.html",
+            ]
+            add(u, _page_html(u, host, 500 + h * 3 + p, targets, rng))
+
+    return rows
+
+
+def rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+
+
+def write_pages_fixture(path: str, n_extra_hosts: int = 20, seed: int = 42) -> int:
+    """Write the fixture parquet; returns row count."""
+    rows = generate_rows(n_extra_hosts=n_extra_hosts, seed=seed)
+    pq.write_table(rows_to_table(rows), path)
+    return len(rows)
+
+
+def seed_urls() -> list[str]:
+    """The pinned ordered seed list (FIXTURES.md A2)."""
+    return [f"https://seed{i}.example.org/" for i in range(4)] + [
+        "https://mega.example.com/sec0/item0.html",
+        "https://files.example.net/pub/",
+        "https://cdn.example.com/assets/logo.png",
+        "https://api.example.com/data.json",
+        "https://tail000.example.io/p0.html",
+        "https://dead-seed.example.net/nowhere.html",
+    ]
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pages.parquet"
+    n = write_pages_fixture(out)
+    print(f"wrote {n} rows to {out}")

@@ -1,0 +1,139 @@
+"""Snapshot-versioned parquet tables — the sandbox stand-in for Iceberg.
+
+Production design (SURVEY.md §1.3): Iceberg tables with hidden partitioning
+(``months(discovered_at)`` for the monthly-index parity,
+``bucket(N, host_salt)`` for the frontier), MERGE INTO for the idempotent
+`_id`-style upsert, snapshots + time travel for backup/restore (S8) and
+wave checkpointing. No Iceberg runtime ships in this sandbox, so this
+module provides the same *semantics* over bare parquet:
+
+- every write creates ``snapshots/v{N}`` + updates ``manifest.json``
+  atomically (rename), so a killed job never corrupts the table;
+- ``read(version=...)`` is time travel; ``latest_version`` is the resume
+  point (test: kill between waves → relaunch → identical tables);
+- ``merge_upsert`` = last-writer-wins by key via anti-join + union —
+  exactly the ES ``_id`` overwrite semantics (reference
+  playwrightcrawler.py:1628-1651).
+
+The interface is deliberately the subset that maps 1:1 onto Iceberg calls
+(``writeTo(...).append()``, ``MERGE INTO``, ``VERSION AS OF``) so swapping
+the backend is a catalog change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = Path(root) / name
+        self.name = name
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> Path:
+        return self.dir / "manifest.json"
+
+    def _read_manifest(self) -> dict:
+        if not self._manifest_path.exists():
+            return {"versions": []}
+        return json.loads(self._manifest_path.read_text())
+
+    def _commit(self, version: int, meta: dict | None = None) -> None:
+        m = self._read_manifest()
+        m["versions"].append(
+            {"version": version, "committed_at": time.time(), **(meta or {})}
+        )
+        tmp = self._manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    @property
+    def latest_version(self) -> int | None:
+        v = self._read_manifest()["versions"]
+        return v[-1]["version"] if v else None
+
+    def versions(self) -> list[dict]:
+        return self._read_manifest()["versions"]
+
+    def exists(self) -> bool:
+        return self.latest_version is not None
+
+    def _snap_dir(self, version: int) -> str:
+        return str(self.dir / "snapshots" / f"v{version:06d}")
+
+    # -- IO -------------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        return spark.read.parquet(self._snap_dir(v))
+
+    def write(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Full-table snapshot write (Iceberg: overwritePartitions)."""
+        v = (self.latest_version or 0) + 1
+        df.write.mode("overwrite").parquet(self._snap_dir(v))
+        self._commit(v, meta)
+        return v
+
+    def append(self, spark: SparkSession, df: DataFrame, meta: dict | None = None) -> int:
+        """Append = previous snapshot ∪ new rows (Iceberg: append files;
+        here materialized so old snapshots stay immutable/time-travelable)."""
+        if self.exists():
+            df = self.read(spark).unionByName(df, allowMissingColumns=True)
+        return self.write(df, meta)
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        meta: dict | None = None,
+    ) -> int:
+        """MERGE INTO … WHEN MATCHED UPDATE / NOT MATCHED INSERT with
+        last-writer-wins — the `_id` overwrite semantics of save_batch."""
+        updates = updates.dropDuplicates([key])
+        if self.exists():
+            current = self.read(spark)
+            kept = current.join(updates.select(key), on=key, how="left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        return self.write(merged, meta)
+
+    def truncate(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+
+class Lakehouse:
+    """The engine's table set rooted at one directory (FIXTURES.md A3-A6)."""
+
+    TABLES = ("frontier", "crawled", "wave_metrics", "robots_rules")
+
+    def __init__(self, root: str):
+        self.root = root
+        for t in self.TABLES:
+            setattr(self, t, SnapshotTable(root, t))
+
+    def describe(self) -> dict:
+        return {
+            t: getattr(self, t).latest_version for t in self.TABLES
+        }
+
+
+def with_host_salt(df: DataFrame, host_col: str = "host", buckets: int = 64) -> DataFrame:
+    """Skew salt: stable bucket of the host hash (north_rule). Used as the
+    frontier's physical partitioning key so one mega-domain spreads over
+    many tasks for *hashing* work while politeness still aggregates on the
+    raw host column."""
+    return df.withColumn("host_salt", (F.pmod(F.xxhash64(F.col(host_col)), F.lit(buckets))).cast("int"))

@@ -1,0 +1,163 @@
+"""End-to-end crawl-engine tests (SURVEY.md §5.2, §5.4): per-url text
+invariant, frontier invariants, politeness, determinism and resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.crawl.engine import CrawlEngine
+from playwrightcrawler_spark.sources import pages_gen
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, pages_dir, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=300, per_host_quota=2)
+    metrics = eng.run(4, seed_urls=pages_gen.seed_urls())
+    return eng, metrics
+
+
+def test_waves_progress(crawl_result):
+    eng, metrics = crawl_result
+    assert metrics[0]["urls_selected"] > 0
+    assert metrics[0]["links_new"] > 0
+    assert eng.lake.crawled.exists() and eng.lake.wave_metrics.exists()
+
+
+def test_text_invariant_byte_identical(crawl_result, spark, pages_dir):
+    """THE correctness gate: extracted text == pages.text per url."""
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark).filter(F.col("route") == "html")
+    pages = spark.read.parquet(pages_dir).select("url", F.col("text").alias("expected"))
+    joined = crawled.join(pages, "url", "inner").select("url", "text", "expected")
+    assert joined.count() > 10
+    mismatch = joined.filter(
+        (F.col("text") != F.col("expected")) | F.col("text").isNull()
+    )
+    assert mismatch.count() == 0, mismatch.limit(5).collect()
+
+
+def test_frontier_invariants(crawl_result, spark):
+    eng, _ = crawl_result
+    fr = eng.lake.frontier.read(spark)
+    n = fr.count()
+    assert fr.select("url_hash").distinct().count() == n      # _id-keyed
+    assert fr.select("url").distinct().count() == n
+    # hygiene: no blocked/embedded/trap URLs ever entered the frontier
+    assert fr.filter(F.col("host").rlike(r"(^|\.)gstatic\.com$")).count() == 0
+    assert fr.filter(F.col("url").rlike("^(data|blob|about|javascript):")).count() == 0
+    assert fr.filter(F.col("url").contains("/fonts/fonts/fonts/")).count() == 0
+    assert fr.filter(F.length("url") > 4096).count() == 0
+    # fragments are stripped during canonicalization
+    assert fr.filter(F.col("url").contains("#")).count() == 0
+    # seeds visited
+    seeds_visited = fr.filter(F.col("url") == "https://seed0.example.org/").first()
+    assert seeds_visited is not None and seeds_visited.visited
+
+
+def test_dead_links_marked_missing(crawl_result, spark):
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark)
+    dead = crawled.filter(F.col("url").contains("dead-seed.example.net"))
+    if dead.count():
+        row = dead.first()
+        assert row.route == "missing" and row.content_type == "" and row.source == "fetch_miss"
+
+
+def test_routing_on_binaries(crawl_result, spark):
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark)
+    got = {
+        r.url: r.route
+        for r in crawled.select("url", "route").collect()
+    }
+    expect = {
+        "https://cdn.example.com/assets/logo.png": "image",
+        "https://docs.example.com/manual.pdf": "pdf",
+        "https://api.example.com/data.json": "plain_text",
+    }
+    for u, route in expect.items():
+        if u in got:
+            assert got[u] == route, (u, got[u])
+
+
+def test_opendir_detected(crawl_result, spark):
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark)
+    od = crawled.filter(F.col("isopendir"))
+    urls = {r.url for r in od.select("url").collect()}
+    if "https://files.example.net/pub/" in {r.url for r in crawled.select("url").collect()}:
+        assert "https://files.example.net/pub/" in urls
+    # the lookalike negative must never be flagged
+    assert "https://notdir.example.net/article" not in urls
+
+
+def test_politeness_quota(crawl_result, spark):
+    """<= quota URLs fetched per host per wave (generalized J3)."""
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark).filter(F.col("route") != "email")
+    per = crawled.groupBy("wave", "host").count()
+    over = per.filter(F.col("count") > 2)
+    assert over.count() == 0, over.collect()
+
+
+def test_enrichment_columns(crawl_result, spark):
+    eng, _ = crawl_result
+    crawled = eng.lake.crawled.read(spark)
+    row = crawled.filter(F.col("url").contains("hop2/leaf0")).first()
+    if row:
+        assert row.has_query is True
+        assert row.query_variables == ["q"]          # 'empty=' dropped
+        assert row.query_values == ["v0", "w0"]
+        assert row.host_level_1 == "org"
+        assert row.file_extension == "html"
+        assert len(row.host_levels) == 7
+        assert len(row.directory_levels) == 7
+
+
+def test_wave_metrics_lineage(crawl_result, spark):
+    eng, _ = crawl_result
+    m = eng.lake.wave_metrics.read(spark)
+    assert m.filter(F.col("scope").startswith("bucket:")).count() > 0
+    assert m.filter(F.col("scope") == "wave").count() >= 4
+    assert m.filter(F.col("scope").startswith("drop:")).count() > 0
+
+
+def test_resume_identical(spark, pages_dir, tmp_path_factory):
+    """Kill-between-waves semantics: 1+2 waves across two engine instances
+    == 3 waves in one (north_rule resumability)."""
+    wh_a = tmp_path_factory.mktemp("wh_a")
+    wh_b = tmp_path_factory.mktemp("wh_b")
+    seeds = pages_gen.seed_urls()
+
+    eng_a = CrawlEngine(spark, pages_dir, str(wh_a), wave_size=100)
+    eng_a.run(3, seed_urls=seeds)
+
+    eng_b1 = CrawlEngine(spark, pages_dir, str(wh_b), wave_size=100)
+    eng_b1.run(1, seed_urls=seeds)
+    eng_b2 = CrawlEngine(spark, pages_dir, str(wh_b), wave_size=100)  # "relaunch"
+    assert eng_b2.last_committed_wave() == 1
+    eng_b2.run(2)
+
+    fa = eng_a.lake.frontier.read(spark)
+    fb = eng_b2.lake.frontier.read(spark)
+    cols = ["url", "url_hash", "host", "depth", "visited", "wave"]
+    assert fa.count() == fb.count()
+    assert fa.select(cols).exceptAll(fb.select(cols)).count() == 0
+    assert fb.select(cols).exceptAll(fa.select(cols)).count() == 0
+
+    ca = eng_a.lake.crawled.read(spark).select("url", "route", "wave", "text")
+    cb = eng_b2.lake.crawled.read(spark).select("url", "route", "wave", "text")
+    assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+
+def test_time_travel(crawl_result, spark):
+    """S8 backup/restore analogue: earlier snapshots stay readable and
+    smaller-or-equal than the head."""
+    eng, _ = crawl_result
+    v_head = eng.lake.frontier.latest_version
+    head = eng.lake.frontier.read(spark).count()
+    v1 = eng.lake.frontier.read(spark, version=1).count()
+    assert v_head > 1
+    assert v1 <= head

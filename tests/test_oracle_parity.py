@@ -1,0 +1,91 @@
+"""Replicates the driver's correctness gate locally: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB over the same parquet,
+compare row count, column names/types and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, ddb, sf_dir, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, sf_dir)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.sql(entrymod.oracle_sql()[name])
+    dcols = [c.lower() for c in res.columns]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "lang" in df.columns
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_pages_extract_invariant(spark, sf_dir):
+    """Every html fixture page must extract byte-identically."""
+    df = entrymod.queries()["pages_extract"](spark, sf_dir)
+    bad = df.filter(~df.match)
+    assert bad.count() == 0, bad.limit(5).collect()
