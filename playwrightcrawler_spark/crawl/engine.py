@@ -10,15 +10,23 @@ One wave =
     discover: explode links + open-dir tree expansion (P16) → canonicalize
               (P1) → hygiene filters with drop accounting (P4-P10, A5)
     dedup   : dropDuplicates + anti-join against the frontier (J1/J2/J5)
-    commit  : crawled append + frontier MERGE + wave_metrics, one snapshot
-              per wave (resumable — north_rule checkpoint/lineage)
+    commit  : crawled delta-append + frontier snapshot + wave_metrics,
+              atomic per wave (resumable — north_rule checkpoint/lineage)
 
-Scale design: the wave side of every join is <= wave_size rows and is
-broadcast, so the 10^10-row pages/frontier tables are never shuffled on
-the fetch path; the only wide shuffles are the per-host window (bounded by
-the candidate set) and the final MERGE rewrite (bucketed by host_salt on
-Iceberg). Skew: host_salt spreads mega-domains across tasks for hashing
-work; politeness aggregates on the raw host (SURVEY.md §7 hard part 4).
+Scale design:
+- the wave side of every join is <= wave_size rows and broadcast, so the
+  10^10-row pages/frontier tables are never shuffled on the fetch path;
+- the wide shuffles are the per-host window (bounded by the candidate
+  set) and the frontier rewrite (bucketed by host_salt on Iceberg);
+- exactly 4-6 Spark actions per wave: counters ride on Observations
+  attached to the write jobs instead of separate count() jobs — at
+  cluster scale that's the difference between 4 and 12 stage launches
+  per wave;
+- crawled/wave_metrics are fast-append (delta) tables: commit cost is
+  O(wave), only the frontier pays a rewrite (Iceberg MoR would make that
+  O(wave) too);
+- host_salt spreads mega-domains across tasks for hashing work while
+  politeness aggregates on the raw host (SURVEY.md §7 hard part 4).
 """
 
 from __future__ import annotations
@@ -26,7 +34,7 @@ from __future__ import annotations
 import time
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from playwrightcrawler_spark import config
@@ -42,6 +50,40 @@ _MAILTO_RX = (
     r"mailo:|mail to:|Email para:|email :|email:|E-mail: |mail-to:|"
     r"maitlo:|mail\.to:)"
 )
+
+DROP_REASONS = [
+    "invalid", "embedded", "too_long", "no_host", "blocked_host",
+    "not_allowed", "blocked_url", "repeated_segments",
+]
+
+import pyarrow as _pa
+
+_METRICS_SCHEMA = _pa.schema([
+    ("wave", _pa.int32()),
+    ("scope", _pa.string()),
+    ("metric", _pa.string()),
+    ("value", _pa.int64()),
+    ("method", _pa.string()),
+    ("node_id", _pa.string()),
+    ("committed_at", _pa.timestamp("us", tz="UTC")),
+])
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "host_salt", "depth", "score",
+    "visited", "discovered_at", "wave",
+]
+
+
+def _obs_get(obs: Observation, defaults: dict) -> dict:
+    """Observation.get, tolerating elided metrics: when AQE collapses an
+    empty join branch it can prune the CollectMetrics node entirely, and
+    the JVM then fails to convert the (schemaless) result row. Empty input
+    means every counter is 0, which is exactly ``defaults``."""
+    try:
+        got = obs.get
+        return {**defaults, **got} if got else dict(defaults)
+    except Exception:
+        return dict(defaults)
 
 
 def _wave_ts(wave: int):
@@ -61,6 +103,7 @@ class CrawlEngine:
         method_weights: dict | None = None,
         hunt_open_directories: bool = config.HUNT_OPEN_DIRECTORIES,
         robots_rules: DataFrame | None = None,
+        bucket_lineage: bool = True,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -71,52 +114,36 @@ class CrawlEngine:
         self.method_weights = method_weights or config.METHOD_WEIGHTS
         self.hunt = hunt_open_directories
         self.robots = robots_rules
+        # per-salt-bucket lineage rows cost one extra tiny job per wave;
+        # throughput benches may turn them off (scalar metrics remain)
+        self.bucket_lineage = bucket_lineage
+        self._frontier_cur: DataFrame | None = None
 
     # ------------------------------------------------------------------ util
     def _pages(self) -> DataFrame:
-        return self.spark.read.parquet(self.pages_path)
+        return self.spark.read.parquet(self.pages_path).select("url", "html")
 
-    @staticmethod
-    def _frontier_row_cols(wave: int):
-        ts = _wave_ts(wave)
+    def _frontier(self) -> DataFrame:
+        if self._frontier_cur is None:
+            self._frontier_cur = self.lake.frontier.read(self.spark)
+        return self._frontier_cur
+
+    def _frontier_row_cols(self, wave: int):
         return dict(
             url_hash=sqlfns.url_hash(F.col("url")),
             depth=F.col("depth").cast("int"),
             score=(F.lit(1.0) / (F.lit(1.0) + F.col("depth"))).cast("double"),
-            visited=F.col("visited"),
-            discovered_at=F.lit(ts),
+            discovered_at=F.lit(_wave_ts(wave)),
             wave=F.lit(wave).cast("int"),
         )
 
-    # ------------------------------------------------------------- bootstrap
-    def bootstrap(self, seed_urls: list[str]) -> int:
-        """S5: seed ingestion → frontier v1. Seeds are canonicalized and
-        hygiene-filtered exactly like discovered links."""
-        df = self.spark.createDataFrame([(u,) for u in seed_urls], "url string")
-        links = self._normalize_and_filter(
-            df.withColumn("depth", F.lit(0)), drop_metrics=False
-        )
-        rows = (
-            with_host_salt(links, buckets=config.HOST_SALT_BUCKETS)
-            .withColumn("visited", F.lit(False))
-            .withColumns(self._frontier_row_cols(wave=0))
-            .select(
-                "url", "url_hash", "host", "host_salt", "depth", "score",
-                "visited", "discovered_at", "wave",
-            )
-        )
-        self.lake.frontier.merge_upsert(self.spark, rows, key="url_hash",
-                                        meta={"wave": 0, "op": "bootstrap"})
-        return rows.count()
-
     # ------------------------------------------------- link hygiene pipeline
-    def _normalize_and_filter(self, links: DataFrame, drop_metrics: bool = True):
-        """P1 canonicalization + P4-P10 filters. Input: (url, depth [, ...]).
-        Output: clean (url, host, depth) plus optional ``_drops`` attr."""
+    def _classify_links(self, links: DataFrame) -> DataFrame:
+        """P1 canonicalization + P4-P10 hygiene with a ``drop_reason``
+        column (NULL = keep). Input: (url, depth)."""
         canon = links.withColumn("url", udfs.canonicalize_url(F.col("url")))
-        host = sqlfns.host_of(F.col("url"))
-        flagged = (
-            canon.withColumn("host", host)
+        return (
+            canon.withColumn("host", sqlfns.host_of(F.col("url")))
             .withColumn(
                 "drop_reason",
                 F.when(F.col("url") == "", "invalid")
@@ -134,20 +161,42 @@ class CrawlEngine:
                 .otherwise(F.lit(None)),
             )
         )
-        if drop_metrics:
-            self._last_drops = (
-                flagged.filter(F.col("drop_reason").isNotNull())
-                .groupBy("drop_reason").count().collect()
-            )
-        kept = flagged.filter(F.col("drop_reason").isNull()).drop("drop_reason")
-        # J4: set semantics on discovered URLs; smallest depth wins
-        return kept.groupBy("url", "host").agg(F.min("depth").alias("depth"))
+
+    @staticmethod
+    def _dedupe_links(flagged: DataFrame) -> DataFrame:
+        """J4 set semantics: keep clean rows, smallest depth per URL."""
+        return (
+            flagged.filter(F.col("drop_reason").isNull())
+            .groupBy("url", "host")
+            .agg(F.min("depth").alias("depth"))
+        )
+
+    # ------------------------------------------------------------- bootstrap
+    def bootstrap(self, seed_urls: list[str]) -> int:
+        """S5: seed ingestion → frontier v1 (same hygiene as links)."""
+        df = self.spark.createDataFrame([(u,) for u in seed_urls], "url string")
+        links = self._dedupe_links(self._classify_links(df.withColumn("depth", F.lit(0))))
+        rows = (
+            with_host_salt(links, buckets=config.HOST_SALT_BUCKETS)
+            .withColumn("visited", F.lit(False))
+            .withColumns(self._frontier_row_cols(wave=0))
+            .dropDuplicates(["url_hash"])
+            .select(*FRONTIER_COLS)
+        )
+        self.lake.frontier.write(rows, meta={"wave": 0, "op": "bootstrap"})
+        self._frontier_cur = self.lake.frontier.read(self.spark)
+        return self._frontier_cur.count()
 
     # ------------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
         t0 = time.time()
+        tmarks = {}
+
+        def mark(label):
+            tmarks[label] = round(time.time() - t0 - sum(tmarks.values()), 2)
+
         spark = self.spark
-        frontier_df = self.lake.frontier.read(spark)
+        frontier_df = self._frontier()
         candidates = frontier_df.filter(~F.col("visited"))
 
         method, wave_df = fr.weighted_select(
@@ -165,80 +214,215 @@ class CrawlEngine:
                     "_disallowed",
                     F.exists(
                         F.coalesce("disallow_prefixes", F.array()),
-                        lambda p: F.expr("url").startswith(F.concat(F.lit("https://"), F.col("host"), p))
-                        | sqlfns.path_of(F.col("url")).startswith(p),
+                        lambda p: sqlfns.path_of(F.col("url")).startswith(p),
                     ),
                 )
                 .filter(~F.col("_disallowed"))
                 .drop("_disallowed", "disallow_prefixes", "crawl_delay_ms")
             )
         wave_df = wave_df.select("url", "url_hash", "host", "depth").cache()
-        urls_selected = wave_df.count()
+        urls_selected = wave_df.count()  # ACTION 1 (policy window + quota)
+        mark("t_select")
         if urls_selected == 0:
+            wave_df.unpersist()
             return {"wave": wave, "method": method, "urls_selected": 0, "done": True}
 
-        # ---- fetch: broadcast the small wave against the big pages table
-        pages = self._pages().select("url", "html")
+        # partition target for the wave-sized frames: enough slices to use
+        # the cores, never hundreds of near-empty python-UDF tasks
+        npart = max(1, min(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+            urls_selected // 128 + 1,
+        ))
+
+        # ---- fetch: broadcast the small wave against the big pages table.
+        # INNER join (either side buildable) — a left-outer can't broadcast
+        # its preserved side; dead links are recovered afterwards by a tiny
+        # anti-join of the wave against the fetched urls, so the 10^10-row
+        # pages table is scanned exactly once and never shuffled.
+        # REPARTITION (not coalesce) after the join: wave URLs correlate
+        # with the pages table's host-clustered layout, so join output
+        # lands in a handful of scan partitions — coalescing would keep
+        # that skew and serialize the python-heavy extraction stage.
+        hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
         fetched = (
-            F.broadcast(wave_df)
-            .join(pages, on="url", how="left")
+            hits.repartition(npart)
             .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
-            .withColumn("route", F.when(F.col("html").isNull(), "missing").otherwise(F.col("route")))
         ).cache()
+        missing = (
+            wave_df.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
+            .withColumn("content_type", F.lit(""))
+            .withColumn("route", F.lit("missing"))
+        )
 
         html_pages = udfs.with_extraction(
             fetched.filter(F.col("route") == "html"), html_col="html", url_col="url"
-        ).cache()
+        ).drop("html").cache()
 
-        # ---- discovered links: resolve → (optional) open-dir tree → hygiene
-        raw_links = (
-            html_pages.select(
-                F.col("url").alias("parent_url"),
-                F.col("host").alias("parent_host"),
-                "depth",
-                F.explode(udfs.resolve_links(F.col("url"), F.col("raw_links"))).alias("url"),
-            )
-        ).cache()
-        links_discovered = raw_links.count()
-
-        emails = (
-            raw_links.filter(F.col("url").rlike(_MAILTO_RX))
-            .withColumn("email", udfs.extract_email(F.col("url")))
-            .filter(F.col("email").isNotNull())
-            .select(
-                F.concat_ws("|", "parent_url", "email").alias("url"),
-                F.col("email"), "parent_url", "parent_host",
-            )
+        raw_links = html_pages.select(
+            F.col("url").alias("parent_url"),
+            F.col("host").alias("parent_host"),
+            "depth",
+            F.explode(udfs.resolve_links(F.col("url"), F.col("raw_links"))).alias("url"),
         )
 
-        web_links = raw_links.filter(~F.col("url").rlike(_MAILTO_RX)).select(
-            "url", (F.col("depth") + 1).alias("depth")
+        # ---- crawled rows (A4 schema, reference §1.1b) — ACTION 2 (write)
+        crawled_all = self._build_crawled(
+            fetched.unionByName(missing.select(*fetched.columns)),
+            html_pages, raw_links, wave,
+        )
+        obs_crawl = Observation()
+        crawled_all = crawled_all.observe(
+            obs_crawl,
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when((F.col("route") != "missing") & (F.col("route") != "email"), 1)).alias("fetched_ok"),
+            F.count(F.when(F.col("route") == "email", 1)).alias("emails"),
+        )
+        crawled_version = self.lake.crawled.append(spark, crawled_all, meta={"wave": wave})
+        crawl_stats = _obs_get(obs_crawl, {"rows": 0, "fetched_ok": 0, "emails": 0})
+        mark("t_crawled")
+
+        # ---- discovered links → hygiene → anti-join → frontier commit
+        web_links = (
+            raw_links.filter(~F.col("url").rlike(_MAILTO_RX))
+            .select("url", (F.col("depth") + 1).alias("depth"))
+            .coalesce(npart)
         )
         if self.hunt:
-            # P16: every content URL and every discovered link contributes its
-            # parent-directory chain (reference preprocess :1837-1845)
+            # P16: content URLs and links contribute parent-directory chains
+            # (reference preprocess :1837-1845)
             tree_of = lambda df, d: df.select(
                 F.explode(udfs.directory_tree(F.col("url"))).alias("url"),
                 (d + 1).alias("depth"),
             )
+            guarded = web_links.filter(
+                sqlfns.length_ok(F.col("url")) & ~sqlfns.is_embedded(F.col("url"))
+            )
             web_links = (
                 web_links
-                .unionByName(tree_of(fetched.select("url", "depth"), F.col("depth")))
-                .unionByName(tree_of(web_links.filter(sqlfns.length_ok(F.col("url")) & ~sqlfns.is_embedded(F.col("url"))), F.col("depth")))
+                .unionByName(tree_of(wave_df.select("url", "depth"), F.col("depth")))
+                .unionByName(tree_of(guarded, F.col("depth")))
             )
 
-        clean = self._normalize_and_filter(web_links)
-        # J1/J2: drop anything already known (frontier holds every seen URL)
+        flagged = self._classify_links(web_links)
+        obs_links = Observation()
+        flagged = flagged.observe(
+            obs_links,
+            F.count(F.lit(1)).alias("links_seen"),
+            *[
+                F.count(F.when(F.col("drop_reason") == r, 1)).alias(f"drop_{r}")
+                for r in DROP_REASONS
+            ],
+        )
         new_links = (
-            clean.withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+            self._dedupe_links(flagged)
+            .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
             .join(frontier_df.select("url_hash"), on="url_hash", how="left_anti")
-        ).cache()
-        links_new = new_links.count()
+        )
+        insert_rows = (
+            with_host_salt(new_links, buckets=config.HOST_SALT_BUCKETS)
+            .withColumn("visited", F.lit(False))
+            .withColumns(self._frontier_row_cols(wave))
+            .select(*FRONTIER_COLS)
+        )
+        obs_insert = None
+        if self.bucket_lineage:
+            # cached: bucket counts reuse it; links_new derived from them
+            insert_rows = insert_rows.cache()
+        else:
+            # no cache → the count rides the write action as an observation
+            # (mixing observe() with cache() is unreliable: the metrics
+            # node can end up inside the InMemoryRelation and never fire)
+            obs_insert = Observation()
+            insert_rows = insert_rows.observe(
+                obs_insert, F.count(F.lit(1)).alias("links_new")
+            )
 
-        # ---- crawled rows (A4 schema, reference §1.1b)
-        enrich = sqlfns.enrichment_columns(F.col("url"))
+        # one broadcast left-join flips visited for the wave's rows —
+        # cheaper than anti+semi+union and identical semantics
+        hit = wave_df.select("url_hash").withColumn("_hit", F.lit(True))
+        updated = (
+            frontier_df.join(F.broadcast(hit), "url_hash", "left")
+            .withColumn("visited", F.when(F.col("_hit"), True).otherwise(F.col("visited")))
+            .withColumn("wave", F.when(F.col("_hit"), F.lit(wave).cast("int")).otherwise(F.col("wave")))
+            .drop("_hit")
+        )
+        merged = updated.select(*FRONTIER_COLS).unionByName(insert_rows)
+        frontier_version = self.lake.frontier.write(merged, meta={"wave": wave})  # ACTION 3
+        self._frontier_cur = self.lake.frontier.read(spark)
+        link_stats = _obs_get(
+            obs_links,
+            {"links_seen": 0, **{f"drop_{r}": 0 for r in DROP_REASONS}},
+        )
+        mark("t_frontier")
+
+        # ---- metrics + per-bucket lineage (A5/A6) — cached, so cheap
+        if self.bucket_lineage:
+            bucket_rows = [
+                (wave, f"bucket:{r['host_salt']}", "links_new", r["count"])
+                for r in insert_rows.groupBy("host_salt").count().collect()  # ACTION 4
+            ]
+            links_new = sum(v for _, _, _, v in bucket_rows)
+        else:
+            bucket_rows = []
+            links_new = int(_obs_get(obs_insert, {"links_new": 0})["links_new"])
+        drop_rows = [
+            (wave, f"drop:{r}", "links_dropped", int(link_stats[f"drop_{r}"]))
+            for r in DROP_REASONS
+            if link_stats[f"drop_{r}"]
+        ]
+        scalar = [
+            (wave, "wave", "urls_selected", urls_selected),
+            (wave, "wave", "urls_fetched", int(crawl_stats["fetched_ok"])),
+            (wave, "wave", "pages_missing", urls_selected - int(crawl_stats["fetched_ok"])),
+            (wave, "wave", "emails", int(crawl_stats["emails"])),
+            (wave, "wave", "links_seen", int(link_stats["links_seen"])),
+            (wave, "wave", "links_new", links_new),
+        ]
+        mark("t_buckets")
+        # metrics are driver-resident counters: write them driver-side
+        # (pyarrow) instead of paying a Spark job for ~50 rows
+        now = datetime.now(timezone.utc)
+        metric_rows = [
+            {
+                "wave": w, "scope": sc, "metric": mname, "value": v,
+                "method": method, "node_id": config.NODE_ID, "committed_at": now,
+            }
+            for (w, sc, mname, v) in scalar + bucket_rows + drop_rows
+        ]
+        self.lake.wave_metrics.write_rows(
+            metric_rows, _METRICS_SCHEMA, meta={"wave": wave}
+        )  # ACTION 5 (driver-local)
+        mark("t_metrics")
+
+        unp = [wave_df, fetched, html_pages]
+        if self.bucket_lineage:
+            unp.append(insert_rows)
+        for df in unp:
+            df.unpersist()
+        return {
+            "wave": wave,
+            "method": method,
+            "urls_selected": urls_selected,
+            "urls_fetched": int(crawl_stats["fetched_ok"]),
+            "links_seen": int(link_stats["links_seen"]),
+            "links_new": links_new,
+            "crawled_version": crawled_version,
+            "frontier_version": frontier_version,
+            "seconds": round(time.time() - t0, 2),
+            "timings": tmarks,
+            "done": False,
+        }
+
+    # ----------------------------------------------------- crawled assembly
+    def _build_crawled(self, fetched, html_pages, raw_links, wave: int) -> DataFrame:
+        """A4-schema rows. Page rows and email rows are unioned as a MINIMAL
+        common shape first and the (expensive) enrichment projection is
+        applied ONCE to the union — one copy of the expression tree per
+        stage keeps whole-stage codegen under the method-size limit."""
         source_col = (
             F.when(F.col("route") == "html", "content_type_download")
             .when(F.col("route") == "plain_text", "content_type_plain_text")
@@ -246,7 +430,11 @@ class CrawlEngine:
             .when(F.col("route") == "image", "content_type_images_no_download")
             .otherwise(F.concat(F.lit("content_type_"), F.col("route")))
         )
-        crawled = (
+        plain_text = F.when(
+            F.col("route") == "plain_text",
+            F.substring(F.decode("html", "UTF-8"), 1, config.MAX_WEBCONTENT_SIZE),
+        )
+        page_rows = (
             fetched.join(
                 html_pages.select(
                     "url", "text_extracted", "words", "isopendir", "opendir_pattern"
@@ -254,115 +442,54 @@ class CrawlEngine:
                 on="url",
                 how="left",
             )
-            .withColumn("text", F.coalesce(
-                F.col("text_extracted"),
-                F.when(F.col("route") == "plain_text",
-                       F.substring(F.decode("html", "UTF-8"), 1, config.MAX_WEBCONTENT_SIZE)),
-            ))
-            .withColumn("words", F.coalesce(
-                F.col("words"),
-                F.when(F.col("route") == "plain_text", udfs.top_words(F.col("text"))),
-            ))
-            .withColumn("isopendir", F.coalesce(F.col("isopendir"), F.lit(False)))
-            .withColumn("opendir_pattern", F.coalesce(F.col("opendir_pattern"), F.lit("")))
-            .withColumn("visited", F.lit(True))
-            .withColumn("source", source_col)
-            .withColumn("emails", F.lit(None).cast("array<string>"))
-            .withColumn("parent_host", F.lit(None).cast("string"))
-            .withColumns(enrich)
-            .withColumn("wave", F.lit(wave).cast("int"))
-            .withColumn("fetched_at", F.lit(_wave_ts(wave)))
-            .drop("html", "text_extracted", "raw_links")
-        )
-        email_rows = (
-            emails.withColumn("url_hash", sqlfns.url_hash(F.col("url")))
-            .withColumn("content_type", F.lit(""))
-            .withColumn("route", F.lit("email"))
-            .withColumn("file_extension", F.lit(""))
-            .withColumn("depth", F.lit(None).cast("int"))
-            .withColumn("text", F.lit(None).cast("string"))
-            .withColumn("words", F.lit(None).cast("array<string>"))
-            .withColumn("isopendir", F.lit(False))
-            .withColumn("opendir_pattern", F.lit(""))
-            .withColumn("visited", F.lit(True))
-            .withColumn("source", F.lit("email_url"))
-            .withColumn("emails", F.array(F.col("email")))
-            .withColumn("host", F.col("parent_host"))
-            .withColumns({k: v for k, v in sqlfns.enrichment_columns(F.col("parent_url")).items() if k != "host"})
-            .withColumn("wave", F.lit(wave).cast("int"))
-            .withColumn("fetched_at", F.lit(_wave_ts(wave)))
-            .drop("email", "parent_url")
-        )
-        crawled_all = crawled.unionByName(email_rows, allowMissingColumns=True)
-        crawled_version = self.lake.crawled.append(
-            spark, crawled_all, meta={"wave": wave}
-        )
-
-        # ---- frontier MERGE: mark fetched visited, insert new links
-        visited_rows = (
-            frontier_df.join(wave_df.select("url_hash"), "url_hash", "left_semi")
-            .withColumn("visited", F.lit(True))
-            .withColumn("wave", F.lit(wave).cast("int"))
-        )
-        insert_rows = (
-            with_host_salt(new_links, buckets=config.HOST_SALT_BUCKETS)
-            .withColumn("visited", F.lit(False))
-            .withColumns(self._frontier_row_cols(wave))
             .select(
-                "url", "url_hash", "host", "host_salt", "depth", "score",
-                "visited", "discovered_at", "wave",
+                F.col("url"),
+                F.col("url").alias("enrich_url"),
+                "content_type", "route", "file_extension", "depth",
+                F.coalesce(F.col("text_extracted"), plain_text).alias("text"),
+                F.coalesce(F.col("words"), udfs.top_words(plain_text)).alias("words"),
+                F.coalesce(F.col("isopendir"), F.lit(False)).alias("isopendir"),
+                F.coalesce(F.col("opendir_pattern"), F.lit("")).alias("opendir_pattern"),
+                source_col.alias("source"),
+                F.lit(None).cast("array<string>").alias("emails"),
+                F.lit(None).cast("string").alias("parent_host"),
             )
         )
-        frontier_version = self.lake.frontier.merge_upsert(
-            spark,
-            visited_rows.unionByName(insert_rows),
-            key="url_hash",
-            meta={"wave": wave},
+        email_rows = (
+            raw_links.filter(F.col("url").rlike(_MAILTO_RX))
+            .withColumn("email", udfs.extract_email(F.col("url")))
+            .filter(F.col("email").isNotNull())
+            .select(
+                F.concat_ws("|", "parent_url", "email").alias("url"),
+                F.col("parent_url").alias("enrich_url"),
+                F.lit("").alias("content_type"),
+                F.lit("email").alias("route"),
+                F.lit("").alias("file_extension"),
+                F.lit(None).cast("int").alias("depth"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<string>").alias("words"),
+                F.lit(False).alias("isopendir"),
+                F.lit("").alias("opendir_pattern"),
+                F.lit("email_url").alias("source"),
+                F.array(F.col("email")).alias("emails"),
+                F.col("parent_host"),
+            )
         )
-
-        # ---- metrics + lineage (per salt bucket), A5/A6 analogue
-        fetched_ok = fetched.filter(F.col("route") != "missing").count()
-        bucket_rows = [
-            (wave, f"bucket:{r['host_salt']}", "links_new", r["count"])
-            for r in insert_rows.groupBy("host_salt").count().collect()
-        ]
-        drop_rows = [
-            (wave, f"drop:{r['drop_reason']}", "links_dropped", r["count"])
-            for r in getattr(self, "_last_drops", [])
-        ]
-        scalar = [
-            (wave, "wave", "urls_selected", urls_selected),
-            (wave, "wave", "urls_fetched", fetched_ok),
-            (wave, "wave", "pages_missing", urls_selected - fetched_ok),
-            (wave, "wave", "links_discovered", links_discovered),
-            (wave, "wave", "links_new", links_new),
-        ]
-        metrics_df = spark.createDataFrame(
-            scalar + bucket_rows + drop_rows,
-            "wave int, scope string, metric string, value long",
-        ).withColumns(
-            {
-                "method": F.lit(method),
-                "node_id": F.lit(config.NODE_ID),
-                "committed_at": F.current_timestamp(),
-            }
-        )
-        self.lake.wave_metrics.append(spark, metrics_df, meta={"wave": wave})
-
-        for df in (wave_df, fetched, html_pages, raw_links, new_links):
-            df.unpersist()
-        return {
-            "wave": wave,
-            "method": method,
-            "urls_selected": urls_selected,
-            "urls_fetched": fetched_ok,
-            "links_discovered": links_discovered,
-            "links_new": links_new,
-            "crawled_version": crawled_version,
-            "frontier_version": frontier_version,
-            "seconds": round(time.time() - t0, 2),
-            "done": False,
+        enrich = {
+            k: v
+            for k, v in sqlfns.enrichment_base_columns(F.col("enrich_url")).items()
+            if k != "file_extension"  # page rows keep the fetch-time extension
         }
+        return (
+            page_rows.unionByName(email_rows)
+            .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+            .withColumn("visited", F.lit(True))
+            .withColumns(enrich)
+            .withColumns(sqlfns.level_flatten_columns())
+            .withColumn("wave", F.lit(wave).cast("int"))
+            .withColumn("fetched_at", F.lit(_wave_ts(wave)))
+            .drop("enrich_url")
+        )
 
     # ---------------------------------------------------------------- driver
     def last_committed_wave(self) -> int:

@@ -373,5 +373,6 @@ for _ext_list, _route in [
 def expected_route_for_extension_col(ext: Column) -> Column:
     """Map file_extension → expected route ('' when unmapped); used for the
     extension↔content-type consistency check (reference :2794-2801)."""
-    mapping = F.create_map(*[F.lit(x) for kv in EXTENSION_ROUTE.items() for x in kv])
+    pairs = ",".join(f"{k}:{v}" for k, v in EXTENSION_ROUTE.items())
+    mapping = F.expr(f"str_to_map('{pairs}', ',', ':')")
     return F.coalesce(F.element_at(mapping, F.lower(ext)), F.lit(""))

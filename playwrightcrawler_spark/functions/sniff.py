@@ -66,7 +66,10 @@ def sniff_content_type(html: Column, file_ext: Column) -> Column:
     # video/mp4: '....ftyp' at byte offset 5
     expr = expr.when(F.upper(F.hex(F.substring(html, 5, 4))) == "66747970", "video/mp4")
 
-    ext_map = F.create_map(*[F.lit(x) for kv in _EXT_MIME.items() for x in kv])
+    # one string constant → one codegen reference (a 60-entry create_map
+    # would inline 120 literal refs and blow the generated method apart)
+    pairs = ",".join(f"{k}:{v}" for k, v in _EXT_MIME.items())
+    ext_map = F.expr(f"str_to_map('{pairs}', ',', ':')")
     by_ext = F.element_at(ext_map, F.lower(file_ext))
     # markup / JSON sniff on a short decoded prefix
     prefix_txt = F.ltrim(F.decode(F.substring(html, 1, 256), "UTF-8"))

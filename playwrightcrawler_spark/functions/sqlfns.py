@@ -159,6 +159,16 @@ def _decode(c: Column) -> Column:
     return F.coalesce(F.try_url_decode(c), c)
 
 
+def _decoded_pairs(query: Column) -> Column:
+    """[(k, v)] form-decoded once per pair — downstream expressions read
+    struct fields instead of re-decoding (keeps the codegen tree small and
+    the per-row work O(pairs), not O(pairs²))."""
+    return F.transform(
+        _pairs(query),
+        lambda p: F.struct(_decode(p[0]).alias("k"), _decode(p[1]).alias("v")),
+    )
+
+
 def has_query(url: Column) -> Column:
     q = query_of(url)
     return q.isNotNull() & (q != "")
@@ -166,21 +176,20 @@ def has_query(url: Column) -> Column:
 
 def query_variables(url: Column) -> Column:
     """parse_qs keys, first-seen order."""
-    keys = F.transform(_pairs(query_of(url)), lambda p: _decode(p[0]))
-    return F.array_distinct(keys)
+    return F.array_distinct(F.transform(_decoded_pairs(query_of(url)), lambda p: p["k"]))
 
 
 def query_values(url: Column) -> Column:
     """parse_qs values flattened in key-group order (NOT positional order:
     'a=1&b=2&a=3' → [1, 3, 2]), matching reference :1900-1902."""
-    pairs = _pairs(query_of(url))
-    keys = F.array_distinct(F.transform(pairs, lambda p: _decode(p[0])))
+    dp = _decoded_pairs(query_of(url))
+    keys = F.array_distinct(F.transform(dp, lambda p: p["k"]))
     return F.flatten(
         F.transform(
             keys,
             lambda k: F.transform(
-                F.filter(pairs, lambda p: _decode(p[0]) == k),
-                lambda p: _decode(p[1]),
+                F.filter(dp, lambda p: p["k"] == k),
+                lambda p: p["v"],
             ),
         )
     )
@@ -192,12 +201,14 @@ def query_values(url: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
-def enrichment_columns(url: Column) -> dict[str, Column]:
-    """All derived columns the reference attaches to a content doc. Usage:
-    ``df.withColumns(enrichment_columns(F.col('url')))``."""
+def enrichment_base_columns(url: Column) -> dict[str, Column]:
+    """The array/scalar derivations the reference attaches to a content doc.
+    Apply FIRST; then ``level_flatten_columns`` — the flattened levels read
+    the materialized arrays instead of re-deriving them, keeping each
+    generated expression small enough for whole-stage codegen."""
     host = host_of(url)
     path = path_of(url)
-    cols: dict[str, Column] = {
+    return {
         "host": host,
         "host_levels": padded_host_levels(host),
         "directory_levels": dir_levels(path),
@@ -207,6 +218,27 @@ def enrichment_columns(url: Column) -> dict[str, Column]:
         "file_extension": file_extension(path),
         "node_id": F.lit(config.NODE_ID),
     }
+
+
+def level_flatten_columns() -> dict[str, Column]:
+    """host_level_1..N (TLD-first) and directory_level_1..N from the
+    already-computed array columns."""
+    cols: dict[str, Column] = {}
+    mh, md = config.MAX_HOST_LEVELS, config.MAX_DIR_LEVELS
+    host_tail = F.reverse(F.slice(F.col("host_levels"), -mh, mh))
+    for i in range(1, mh + 1):
+        cols[f"host_level_{i}"] = F.element_at(host_tail, i)
+    for i in range(1, md + 1):
+        cols[f"directory_level_{i}"] = F.element_at(F.col("directory_levels"), i)
+    return cols
+
+
+def enrichment_columns(url: Column) -> dict[str, Column]:
+    """Single-shot variant (small frames / tests). For wide pipelines use
+    base + flatten to stay codegen-friendly."""
+    cols = enrichment_base_columns(url)
+    host = cols["host"]
+    path = path_of(url)
     for i in range(1, config.MAX_HOST_LEVELS + 1):
         cols[f"host_level_{i}"] = host_level(host, i)
     for i in range(1, config.MAX_DIR_LEVELS + 1):

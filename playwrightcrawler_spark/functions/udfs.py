@@ -136,15 +136,44 @@ def open_dir(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 
-def with_extraction(df, html_col: str = "html", url_col: str = "url"):
-    """Append text/words/links/opendir columns to a pages-shaped frame in one
-    projection so all four UDFs share a single Arrow transfer of ``html``."""
-    od = open_dir(F.col(html_col), F.col(url_col))
-    return df.select(
-        "*",
-        extract_text(F.col(html_col)).alias("text_extracted"),
-        words_from_html(F.col(html_col)).alias("words"),
-        extract_links(F.col(html_col)).alias("raw_links"),
-        od.getField("isopendir").alias("isopendir"),
-        od.getField("opendir_pattern").alias("opendir_pattern"),
+_EXTRACT_ALL_SCHEMA = T.StructType([
+    T.StructField("text_extracted", T.StringType()),
+    T.StructField("words", T.ArrayType(T.StringType())),
+    T.StructField("raw_links", T.ArrayType(T.StringType())),
+    T.StructField("isopendir", T.BooleanType()),
+    T.StructField("opendir_pattern", T.StringType()),
+])
+
+
+@pandas_udf(_EXTRACT_ALL_SCHEMA)
+def extract_all(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
+    """Fused E1+E2/E5+E4+E6: ONE decode + ONE DOM walk per page produces
+    text, word list, raw links and the open-dir verdict — the individual
+    UDFs above each re-parse the html; the crawl hot path must not."""
+    rows = []
+    for raw, url in zip(html, urls):
+        content = textextract.decode_html(raw)
+        if not content:
+            rows.append(("", [], [], False, ""))
+            continue
+        walker = textextract._walk(content)
+        stripped = [t.strip() for t in walker.text_parts]
+        text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
+        words = textextract.top_words(" ".join(walker.text_parts))
+        od_flag, od_pat = textextract.is_open_directory(content, url or "")
+        rows.append((text, words, walker.links, od_flag, od_pat))
+    return pd.DataFrame(
+        rows,
+        columns=["text_extracted", "words", "raw_links", "isopendir", "opendir_pattern"],
     )
+
+
+def with_extraction(df, html_col: str = "html", url_col: str = "url"):
+    """Append text/words/links/opendir columns via the fused single-parse
+    UDF (one Arrow transfer of ``html``, one HTMLParser walk per page).
+    The struct is bound to a column first so the plan holds exactly one
+    ArrowEvalPython node — field access never re-invokes the UDF."""
+    out = df.withColumn("_ex", extract_all(F.col(html_col), F.col(url_col)))
+    for field in _EXTRACT_ALL_SCHEMA.fieldNames():
+        out = out.withColumn(field, F.col(f"_ex.{field}"))
+    return out.drop("_ex")

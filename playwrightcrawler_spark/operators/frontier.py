@@ -65,11 +65,13 @@ def select_random(df: DataFrame, size: int, seed: int, quota: int = 1) -> DataFr
     pivot = _pivot_timestamp(df, rng.random())
     if pivot is not None:
         df = df.filter(F.col("discovered_at") >= F.lit(pivot))
+    # pseudo-randomness via value hashing, NOT rand(): rand(seed) depends on
+    # partition layout, which breaks resume determinism (§5.2)
+    r = F.xxhash64(F.col("url"), F.lit(seed))
     return (
-        per_host_quota(df.withColumn("_r", F.rand(seed)), F.col("_r").asc(), quota)
-        .orderBy(F.rand(seed + 1), "url")
+        per_host_quota(df, r.asc(), quota)
+        .orderBy(F.xxhash64(F.col("url"), F.lit(seed + 1)), "url")
         .limit(size)
-        .drop("_r")
     )
 
 
@@ -89,11 +91,11 @@ def select_host_prefix(df: DataFrame, size: int, seed: int, quota: int = 1) -> D
         newer = sliced.filter(F.col("discovered_at") >= F.lit(pivot))
         if newer.limit(1).count() > 0:
             sliced = newer
+    r = F.xxhash64(F.col("url"), F.lit(seed))
     return (
-        per_host_quota(sliced.withColumn("_r", F.rand(seed)), F.col("_r").asc(), quota)
-        .orderBy(F.rand(seed + 1), "url")
+        per_host_quota(sliced, r.asc(), quota)
+        .orderBy(F.xxhash64(F.col("url"), F.lit(seed + 1)), "url")
         .limit(size)
-        .drop("_r")
     )
 
 

@@ -45,7 +45,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # small enough that a wave-sized html scan still splits across all
+        # cores (a 1 GB corpus at the 128 MB default is 8 tasks — extraction
+        # would cap at 8-way parallelism no matter the core count)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

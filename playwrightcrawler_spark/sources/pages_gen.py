@@ -243,6 +243,106 @@ def seed_urls() -> list[str]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Bench-scale corpus: generated BY Spark (parallel, deterministic in the row
+# id), so building a 10^5-10^6-page table takes seconds and the same recipe
+# scales to the 10^10 design point on a cluster.
+# ---------------------------------------------------------------------------
+
+_FILLER = (
+    "crawl frontier schedule politeness budget extract parse token "
+    "shuffle partition broadcast join window dedup bloom filter snapshot "
+    "lineage resume checkpoint throughput latency vector similarity "
+)
+
+
+def write_pages_scaled(
+    spark,
+    path: str,
+    n_hosts: int = 2000,
+    pages_per_host: int = 15,
+    paragraphs: int = 12,
+    include_assets: bool = True,
+    next_links: int = 3,
+) -> int:
+    """Deterministic link graph: page p on host h links to the next page on
+    its host, two hash-derived cross-host pages, and static assets. HTML is
+    a few KB so the extraction UDF does realistic work."""
+    from pyspark.sql import functions as F
+
+    n = n_hosts * pages_per_host
+    df = (
+        spark.range(n)
+        .withColumn("h", (F.col("id") / pages_per_host).cast("long"))
+        .withColumn("p", F.col("id") % pages_per_host)
+    )
+    host = F.format_string("host%05d.bench.example", F.col("h"))
+    url = F.format_string("https://host%05d.bench.example/p%d.html", F.col("h"), F.col("p"))
+    body = F.format_string(
+        "<html><head><title>bench %d</title><script>var x=%d;</script></head>"
+        "<body><h1>Page %d of host%05d</h1>"
+        + ("<p>" + _FILLER + "page %d token %d</p>") * paragraphs
+        + "".join(f'<a href="/p%d.html">n{k}</a>' for k in range(next_links))
+        + '<a href="https://host%05d.bench.example/p0.html">x1</a>'
+        + '<a href="https://host%05d.bench.example/p1.html">x2</a>'
+        + ('<img src="/static/i%d.png"><script src="/static/a.js"></script>'
+           if include_assets else "")
+        + "</body></html>",
+        F.col("id"), F.col("id"), F.col("p"), F.col("h"),
+        *[x for i in range(paragraphs) for x in (F.col("id") + i, F.col("p") + i)],
+        *[(F.col("p") + 1 + k) % pages_per_host for k in range(next_links)],
+        (F.col("h") * 7 + F.col("p") + 1) % n_hosts,
+        (F.col("h") * 13 + 3) % n_hosts,
+        *([F.col("p") % 5] if include_assets else []),
+    )
+    out = df.select(
+        url.alias("url"),
+        (F.lit(_EPOCH) + F.make_interval(secs=F.col("id").cast("double"))).alias("warc_ts"),
+        F.encode(body, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    # static assets referenced by the pages (5 PNGs + 1 JS per host) so
+    # every discovered link resolves — fetch-misses would otherwise skew
+    # the throughput metric and under-exercise the binary routes
+    assets = (
+        spark.range(n_hosts * 6)
+        .withColumn("h", (F.col("id") / 6).cast("long"))
+        .withColumn("a", F.col("id") % 6)
+        .select(
+            F.when(
+                F.col("a") < 5,
+                F.format_string("https://host%05d.bench.example/static/i%d.png", F.col("h"), F.col("a")),
+            ).otherwise(
+                F.format_string("https://host%05d.bench.example/static/a.js", F.col("h"))
+            ).alias("url"),
+            (F.lit(_EPOCH) + F.make_interval(secs=F.col("id").cast("double"))).alias("warc_ts"),
+            F.when(
+                F.col("a") < 5,
+                F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.encode(F.repeat(F.lit("p"), 64), "UTF-8")),
+            ).otherwise(F.encode(F.lit("function bench(){return 1;}"), "UTF-8")).alias("html"),
+            F.lit("").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    if include_assets:
+        out = out.unionByName(assets)
+        n += n_hosts * 6
+    out.write.mode("overwrite").parquet(path)
+    return n
+
+
+def bench_seed_urls(n_hosts: int = 2000, n_seeds: int = 64, per_host: int = 1) -> list[str]:
+    hosts_needed = max(1, n_seeds // per_host)
+    step = max(1, n_hosts // hosts_needed)
+    urls = [
+        f"https://host{h:05d}.bench.example/p{k}.html"
+        for h in range(0, n_hosts, step)
+        for k in range(per_host)
+    ]
+    return urls[:n_seeds]
+
+
 if __name__ == "__main__":
     import sys
 

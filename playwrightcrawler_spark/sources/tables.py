@@ -33,9 +33,15 @@ from pyspark.sql import functions as F
 
 
 class SnapshotTable:
-    def __init__(self, root: str, name: str):
+    """kind='full': every snapshot is the whole table (frontier — the
+    Iceberg copy-on-write analogue). kind='delta': every snapshot is an
+    increment and read() unions them (crawled/metrics — the Iceberg
+    fast-append analogue); append cost is O(wave), not O(table)."""
+
+    def __init__(self, root: str, name: str, kind: str = "full"):
         self.dir = Path(root) / name
         self.name = name
+        self.kind = kind
         self.dir.mkdir(parents=True, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -76,6 +82,10 @@ class SnapshotTable:
         v = self.latest_version if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.name} has no snapshots")
+        if self.kind == "delta":
+            dirs = [self._snap_dir(e["version"]) for e in self.versions()
+                    if e["version"] <= v]
+            return spark.read.parquet(*dirs)
         return spark.read.parquet(self._snap_dir(v))
 
     def write(self, df: DataFrame, meta: dict | None = None) -> int:
@@ -86,9 +96,9 @@ class SnapshotTable:
         return v
 
     def append(self, spark: SparkSession, df: DataFrame, meta: dict | None = None) -> int:
-        """Append = previous snapshot ∪ new rows (Iceberg: append files;
-        here materialized so old snapshots stay immutable/time-travelable)."""
-        if self.exists():
+        """delta tables: write just the increment. full tables: previous
+        snapshot ∪ new rows (old snapshots stay immutable either way)."""
+        if self.kind != "delta" and self.exists():
             df = self.read(spark).unionByName(df, allowMissingColumns=True)
         return self.write(df, meta)
 
@@ -110,6 +120,22 @@ class SnapshotTable:
             merged = updates
         return self.write(merged, meta)
 
+    def write_rows(self, rows: list[dict], schema, meta: dict | None = None) -> int:
+        """Driver-local append for tiny frames (wave metrics): straight
+        pyarrow parquet, no Spark job. ``schema`` is a pyarrow schema.
+        Only valid for delta tables (increments)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        assert self.kind == "delta", "write_rows is for delta tables"
+        v = (self.latest_version or 0) + 1
+        d = Path(self._snap_dir(v))
+        d.mkdir(parents=True, exist_ok=True)
+        cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+        pq.write_table(pa.table(cols, schema=schema), d / "part-00000.parquet")
+        self._commit(v, meta)
+        return v
+
     def truncate(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
         self.dir.mkdir(parents=True, exist_ok=True)
@@ -119,11 +145,12 @@ class Lakehouse:
     """The engine's table set rooted at one directory (FIXTURES.md A3-A6)."""
 
     TABLES = ("frontier", "crawled", "wave_metrics", "robots_rules")
+    _KINDS = {"crawled": "delta", "wave_metrics": "delta"}
 
     def __init__(self, root: str):
         self.root = root
         for t in self.TABLES:
-            setattr(self, t, SnapshotTable(root, t))
+            setattr(self, t, SnapshotTable(root, t, kind=self._KINDS.get(t, "full")))
 
     def describe(self) -> dict:
         return {
