@@ -104,6 +104,7 @@ class CrawlEngine:
         hunt_open_directories: bool = config.HUNT_OPEN_DIRECTORIES,
         robots_rules: DataFrame | None = None,
         bucket_lineage: bool = True,
+        rebalance_fetch: bool = True,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -117,6 +118,12 @@ class CrawlEngine:
         # per-salt-bucket lineage rows cost one extra tiny job per wave;
         # throughput benches may turn them off (scalar metrics remain)
         self.bucket_lineage = bucket_lineage
+        # rebalance_fetch: round-robin the fetch-join output before the
+        # python extraction stage. Needed when wave URLs cluster in few
+        # storage partitions (host-correlated selection over a
+        # host-clustered table); skippable when selection is uniform —
+        # it shuffles the whole wave's bytes.
+        self.rebalance_fetch = rebalance_fetch
         self._frontier_cur: DataFrame | None = None
 
     # ------------------------------------------------------------------ util
@@ -244,12 +251,19 @@ class CrawlEngine:
         # lands in a handful of scan partitions — coalescing would keep
         # that skew and serialize the python-heavy extraction stage.
         hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
+        if self.rebalance_fetch:
+            hits = hits.repartition(npart)
         fetched = (
-            hits.repartition(npart)
+            hits
             .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
         ).cache()
+        # ACTION 1b: populate the fetched cache BEFORE anything else refers
+        # to it — the broadcast-exchange job for `missing` is otherwise
+        # submitted concurrently with the main write job and both recompute
+        # the scan+shuffle+route pipeline instead of sharing the cache.
+        fetched.count()
         missing = (
             wave_df.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
             .withColumn("html", F.lit(None).cast("binary"))
@@ -262,18 +276,20 @@ class CrawlEngine:
             fetched.filter(F.col("route") == "html"), html_col="html", url_col="url"
         ).drop("html").cache()
 
+        # ACTION 1c: materialize extraction once — the crawled write, the
+        # email branch and the link pipeline all read html_pages; without
+        # an explicit materialization AQE submits their query stages
+        # concurrently and each recomputes the pandas-UDF extraction.
+        html_pages.count()
         raw_links = html_pages.select(
             F.col("url").alias("parent_url"),
             F.col("host").alias("parent_host"),
             "depth",
             F.explode(udfs.resolve_links(F.col("url"), F.col("raw_links"))).alias("url"),
-        )
+        ).cache()
 
         # ---- crawled rows (A4 schema, reference §1.1b) — ACTION 2 (write)
-        crawled_all = self._build_crawled(
-            fetched.unionByName(missing.select(*fetched.columns)),
-            html_pages, raw_links, wave,
-        )
+        crawled_all = self._build_crawled(fetched, html_pages, missing, raw_links, wave)
         obs_crawl = Observation()
         crawled_all = crawled_all.observe(
             obs_crawl,
@@ -398,7 +414,7 @@ class CrawlEngine:
         )  # ACTION 5 (driver-local)
         mark("t_metrics")
 
-        unp = [wave_df, fetched, html_pages]
+        unp = [wave_df, fetched, html_pages, raw_links]
         if self.bucket_lineage:
             unp.append(insert_rows)
         for df in unp:
@@ -418,42 +434,53 @@ class CrawlEngine:
         }
 
     # ----------------------------------------------------- crawled assembly
-    def _build_crawled(self, fetched, html_pages, raw_links, wave: int) -> DataFrame:
-        """A4-schema rows. Page rows and email rows are unioned as a MINIMAL
-        common shape first and the (expensive) enrichment projection is
-        applied ONCE to the union — one copy of the expression tree per
-        stage keeps whole-stage codegen under the method-size limit."""
-        source_col = (
-            F.when(F.col("route") == "html", "content_type_download")
-            .when(F.col("route") == "plain_text", "content_type_plain_text")
-            .when(F.col("route") == "missing", "fetch_miss")
-            .when(F.col("route") == "image", "content_type_images_no_download")
-            .otherwise(F.concat(F.lit("content_type_"), F.col("route")))
-        )
+    def _build_crawled(self, fetched, html_pages, missing, raw_links, wave: int) -> DataFrame:
+        """A4-schema rows, JOIN-FREE: the extraction output already carries
+        every fetched column, so html rows, non-html rows, dead links and
+        email records are four unions over a MINIMAL common shape — the
+        obvious alternative (join text/words back onto fetched) shuffles
+        2× the wave's bytes. The enrichment projection is applied ONCE to
+        the union so whole-stage codegen stays under the method-size
+        limit."""
         plain_text = F.when(
             F.col("route") == "plain_text",
             F.substring(F.decode("html", "UTF-8"), 1, config.MAX_WEBCONTENT_SIZE),
         )
-        page_rows = (
-            fetched.join(
-                html_pages.select(
-                    "url", "text_extracted", "words", "isopendir", "opendir_pattern"
-                ),
-                on="url",
-                how="left",
-            )
-            .select(
+
+        def shape(df, text_col, words_col, od_col, od_pat_col, source_col):
+            return df.select(
                 F.col("url"),
                 F.col("url").alias("enrich_url"),
                 "content_type", "route", "file_extension", "depth",
-                F.coalesce(F.col("text_extracted"), plain_text).alias("text"),
-                F.coalesce(F.col("words"), udfs.top_words(plain_text)).alias("words"),
-                F.coalesce(F.col("isopendir"), F.lit(False)).alias("isopendir"),
-                F.coalesce(F.col("opendir_pattern"), F.lit("")).alias("opendir_pattern"),
+                text_col.alias("text"),
+                words_col.alias("words"),
+                od_col.alias("isopendir"),
+                od_pat_col.alias("opendir_pattern"),
                 source_col.alias("source"),
                 F.lit(None).cast("array<string>").alias("emails"),
                 F.lit(None).cast("string").alias("parent_host"),
             )
+
+        html_rows = shape(
+            html_pages,
+            F.col("text_extracted"), F.col("words"),
+            F.col("isopendir"), F.col("opendir_pattern"),
+            F.lit("content_type_download"),
+        )
+        other_source = (
+            F.when(F.col("route") == "plain_text", "content_type_plain_text")
+            .when(F.col("route") == "image", "content_type_images_no_download")
+            .otherwise(F.concat(F.lit("content_type_"), F.col("route")))
+        )
+        other_rows = shape(
+            fetched.filter(F.col("route") != "html"),
+            plain_text, udfs.top_words(plain_text),
+            F.lit(False), F.lit(""), other_source,
+        )
+        missing_rows = shape(
+            missing,
+            F.lit(None).cast("string"), F.lit(None).cast("array<string>"),
+            F.lit(False), F.lit(""), F.lit("fetch_miss"),
         )
         email_rows = (
             raw_links.filter(F.col("url").rlike(_MAILTO_RX))
@@ -481,7 +508,9 @@ class CrawlEngine:
             if k != "file_extension"  # page rows keep the fetch-time extension
         }
         return (
-            page_rows.unionByName(email_rows)
+            html_rows.unionByName(other_rows)
+            .unionByName(missing_rows)
+            .unionByName(email_rows)
             .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
             .withColumn("visited", F.lit(True))
             .withColumns(enrich)

@@ -332,6 +332,16 @@ def write_pages_scaled(
     return n
 
 
+def bench_all_page_urls(n_hosts: int, pages_per_host: int) -> list[str]:
+    """Every page URL in the scaled corpus — used to pre-populate the
+    frontier for throughput benches (S5 seed-file ingestion at scale)."""
+    return [
+        f"https://host{h:05d}.bench.example/p{k}.html"
+        for h in range(n_hosts)
+        for k in range(pages_per_host)
+    ]
+
+
 def bench_seed_urls(n_hosts: int = 2000, n_seeds: int = 64, per_host: int = 1) -> list[str]:
     hosts_needed = max(1, n_seeds // per_host)
     step = max(1, n_hosts // hosts_needed)

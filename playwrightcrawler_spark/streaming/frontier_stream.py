@@ -1,0 +1,95 @@
+"""Structured Streaming variant of link ingestion.
+
+The reference is wave-iterated batch (ITERATIONS loop,
+playwrightcrawler.py:5384) and so is this engine's main path; streaming is
+the continuous-ingest complement: seed/discovered-link files landing in a
+folder become frontier rows with the SAME hygiene pipeline, exactly-once
+per micro-batch via foreachBatch + the snapshot tables' atomic commit.
+
+Design notes for 10^10 scale:
+- `dropDuplicates` within the stream holds only the watermark window of
+  keys in state; global dedup stays the frontier anti-join inside
+  foreachBatch (state stores can't hold 10^10 keys);
+- foreachBatch gives batch-side MERGE semantics (Iceberg MERGE INTO in
+  production, SnapshotTable.merge_upsert here) — the standard pattern for
+  streaming upserts into a lakehouse table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark import config
+from playwrightcrawler_spark.functions import sqlfns, udfs
+from playwrightcrawler_spark.sources.tables import SnapshotTable, with_host_salt
+
+
+def streaming_links(spark: SparkSession, folder: str) -> DataFrame:
+    """Unbounded link source: text files appearing under ``folder``."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(folder)
+        .select(F.trim(F.col("value")).alias("url"))
+        .filter((F.col("url") != "") & ~F.col("url").startswith("#"))
+    )
+
+
+def clean_links(links: DataFrame) -> DataFrame:
+    """The discovered-link hygiene pipeline, streaming-safe (all stateless
+    projections/filters; the pandas UDFs run per micro-batch)."""
+    canon = links.withColumn("url", udfs.canonicalize_url(F.col("url")))
+    host = sqlfns.host_of(F.col("url"))
+    return (
+        canon.withColumn("host", host)
+        .filter(
+            (F.col("url") != "")
+            & ~sqlfns.is_embedded(F.col("url"))
+            & sqlfns.length_ok(F.col("url"))
+            & F.col("host").isNotNull()
+            & ~sqlfns.host_block_listed(F.col("host"))
+            & sqlfns.host_allow_listed(F.col("host"))
+            & ~sqlfns.url_block_listed(F.col("url"))
+        )
+        .dropDuplicates(["url"])
+    )
+
+
+def start_frontier_ingest(
+    spark: SparkSession,
+    folder: str,
+    frontier: SnapshotTable,
+    checkpoint_dir: str,
+    trigger_seconds: int = 2,
+):
+    """links folder → frontier MERGE, one atomic snapshot per micro-batch."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            with_host_salt(batch_df, buckets=config.HOST_SALT_BUCKETS)
+            .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("score", F.lit(1.0))
+            .withColumn("visited", F.lit(False))
+            .withColumn("discovered_at", F.current_timestamp())
+            .withColumn("wave", F.lit(-1))
+            .select(
+                "url", "url_hash", "host", "host_salt", "depth", "score",
+                "visited", "discovered_at", "wave",
+            )
+        )
+        if frontier.exists():
+            frontier.merge_upsert(batch_df.sparkSession, rows, key="url_hash",
+                                  meta={"stream_batch": batch_id})
+        else:
+            frontier.write(rows.dropDuplicates(["url_hash"]),
+                           meta={"stream_batch": batch_id})
+
+    cleaned = clean_links(streaming_links(spark, folder))
+    return (
+        cleaned.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan audits (SURVEY.md §4): pushdown, pruning, broadcast,
+Arrow-only python, bounded shuffles. These tests fail when a regression
+turns a designed plan into an accidental one."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.plans import audit
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    pushed = audit.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    cols = audit.read_schema_columns(df)
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_fetch_join_is_broadcast(spark, pages_dir):
+    """The wave⋈pages join must broadcast the wave side — a shuffled pages
+    table is the #1 scale failure for this engine."""
+    pages = spark.read.parquet(pages_dir).select("url", "html")
+    wave = spark.createDataFrame(
+        [(f"https://seed{i}.example.org/",) for i in range(4)], "url string"
+    )
+    joined = pages.join(F.broadcast(wave), "url", "inner")
+    assert audit.has_broadcast_join(joined)
+    assert audit.shuffle_count(joined) == 0
+
+
+def test_extraction_is_arrow_vectorized(spark, pages_dir):
+    from playwrightcrawler_spark.functions import udfs
+
+    pages = spark.read.parquet(pages_dir)
+    out = udfs.with_extraction(pages, "html", "url")
+    plan = audit.physical_plan(out)
+    assert "ArrowEvalPython" in plan
+    assert audit.uses_arrow_udfs_only(out)
+    # fused kernel: exactly one python eval node for all five outputs
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_routing_stays_jvm_side(spark, pages_dir):
+    from playwrightcrawler_spark.functions import routing, sniff, sqlfns
+
+    pages = spark.read.parquet(pages_dir)
+    routed = (
+        pages.withColumn("ext", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
+        .withColumn("ct", sniff.sniff_content_type(F.col("html"), F.col("ext")))
+        .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("ct"))))
+        .select("url", "route")
+    )
+    plan = audit.physical_plan(routed)
+    assert "EvalPython" not in plan  # no python in the routing path
+    assert audit.wholestage_codegen_ids(routed) >= 1  # codegen compiled
+
+
+def test_pricing_summary_single_shuffle(spark, sf_dir):
+    from playwrightcrawler_spark.queries import q_pricing_summary
+
+    df = q_pricing_summary(spark, sf_dir)
+    # one shuffle for the groupBy — partial aggregation must be present
+    assert audit.shuffle_count(df) == 1
+    assert "partial" in audit.physical_plan(df).lower()
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from playwrightcrawler_spark.queries import q_embedding_topk
+
+    df = q_embedding_topk(spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.physical_plan(df)

@@ -1,0 +1,115 @@
+"""Streaming link ingestion + seed-folder source + snapshot-table
+semantics + cleanup + multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.operators import cleanup, multimodal
+from playwrightcrawler_spark.sources import seeds
+from playwrightcrawler_spark.sources.tables import SnapshotTable
+
+
+def test_seed_folder(spark, tmp_path):
+    folder = tmp_path / "input_url_files"
+    folder.mkdir()
+    (folder / "a.txt").write_text(
+        "https://a.example/\n\n# comment\nhttps://b.example/x\nhttps://a.example/\n"
+    )
+    df = seeds.read_seed_folder(spark, str(folder))
+    urls = {r.url for r in df.collect()}
+    assert urls == {"https://a.example/", "https://b.example/x"}
+
+
+def test_streaming_frontier_ingest(spark, tmp_path):
+    from playwrightcrawler_spark.streaming.frontier_stream import start_frontier_ingest
+
+    links_dir = tmp_path / "links"
+    links_dir.mkdir()
+    frontier = SnapshotTable(str(tmp_path / "wh"), "frontier")
+    (links_dir / "batch1.txt").write_text(
+        "https://s1.example/a\n"
+        "htpps://typo.example/b\n"            # scheme typo → canonicalized
+        "javascript:void(0)\n"                # embedded → dropped
+        "https://www.gstatic.com/blocked\n"   # blocked host → dropped
+        "https://s1.example/a\n"              # dup → collapsed
+    )
+    q = start_frontier_ingest(
+        spark, str(links_dir), frontier, str(tmp_path / "ckpt"), trigger_seconds=1
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if frontier.exists() and frontier.read(spark).count() >= 2:
+                break
+            time.sleep(1)
+        rows = {r.url for r in frontier.read(spark).collect()}
+        assert rows == {"https://s1.example/a", "https://typo.example/b"}
+    finally:
+        q.stop()
+
+
+def test_snapshot_delta_semantics(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "log", kind="delta")
+    t.append(spark, spark.range(3).select(F.col("id")))
+    t.append(spark, spark.range(3, 5).select(F.col("id")))
+    assert t.read(spark).count() == 5
+    assert t.read(spark, version=1).count() == 3  # time travel on deltas
+
+
+def test_snapshot_merge_upsert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path), "kv")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        key="k",
+    )
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # _id overwrite semantics (J5)
+
+
+def test_cleanup_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ok.example/a", "text/html", True),
+            ("https://t.example/fonts/fonts/fonts/x", "text/html", True),
+            ("https://www.gstatic.com/y", "", False),
+            ("https://z.example/one/two#frag", "text/html", True),
+        ],
+        "url string, content_type string, visited boolean",
+    ).withColumn("host", F.lower(F.try_parse_url("url", F.lit("HOST"))))
+    kept, stats = cleanup.cleanup(
+        df, remove_repeated=True, remove_blocked_hosts=True, remove_invalid=True
+    )
+    reasons = {r.drop_reason: r.deleted for r in stats.collect()}
+    assert reasons.get("repeated_segments") == 1
+    assert reasons.get("blocked_host") == 1
+    assert reasons.get("invalid_url") == 1  # '#frag' not canonical
+    assert kept.count() == 1
+
+
+def test_multimodal_metadata(spark, pages_dir):
+    pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.(png|jpg|gif)$"))
+    meta = multimodal.extract_media_metadata(
+        pages, bin_col="html", decoder=multimodal.fake_decode
+    )
+    rows = meta.collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.decode_ok and r.resolution == r.width * r.height
+        assert len(r.sha256) == 64 and r.n_bytes > 0
+
+
+def test_multimodal_decoder_unavailable(spark, pages_dir):
+    """The real-decode stub must degrade row-wise, not kill tasks."""
+    pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.png$")).limit(2)
+    meta = multimodal.extract_media_metadata(pages, bin_col="html")  # real_decode
+    rows = meta.collect()
+    assert rows and all(
+        (not r.decode_ok) and r.decode_error == "decoder_unavailable" for r in rows
+    )
+    assert all(r.sha256 for r in rows)  # hash/bytes plumbing still ran
