@@ -226,9 +226,31 @@ def write_baseline_md(result: dict) -> None:
         + ", ".join(f"{k}={v}" for k, v in result["queries"].items()),
         "",
         "Method: the same crawl job on the same input at two parallelism",
-        f"levels in separate JVMs (local[{SCALE_LOW}] vs local[{SCALE_HIGH}], best of 2",
-        "runs per level) — the sandbox evidence protocol for the N→4N",
-        "executor criterion (BASELINE.md row 'sandbox evidence').",
+        f"levels in separate JVMs pinned with taskset to exactly N and 4N",
+        f"CPUs (local[{SCALE_LOW}] vs local[{SCALE_HIGH}], best of 2 runs per level) — the",
+        "sandbox evidence protocol for the N→4N executor criterion",
+        "(BASELINE.md row 'sandbox evidence').",
+        "",
+        "## Notes",
+        "",
+        "- Reference anchor: the reference crawler is browser-bound at",
+        "  ~1 URL/s per worker with 8 fast-pass workers (config.py:184);",
+        "  this engine's single-node crawl+extract is 2-3 orders of",
+        "  magnitude above that envelope and its unit of scale is an",
+        "  executor, not a browser process.",
+        "- Host variance: identical runs on this sandbox VM differ by up",
+        "  to 2x (fluctuating interference). Interference only slows",
+        "  runs, so best-of-history estimates capability; the scaling",
+        "  pair is pinned with taskset (local[N] caps JVM slots only —",
+        "  python workers would otherwise use extra cores and understate",
+        "  the ratio).",
+        "- minhash_lsh_pairs dominates the headline total: 8 md5",
+        "  min-hashes over ~5M exploded tokens (doc ∪ copy); md5 exists",
+        "  for DuckDB-oracle portability, production uses xxhash64 (~8x).",
+        "- Scale levers not exercisable in-sandbox: Iceberg bucket(url)",
+        "  layout + bloom row-group skipping for the per-wave pages scan;",
+        "  MERGE-on-read frontier commits; the partitioned-Bloom seen-set",
+        "  pre-filter (exact anti-join is cheaper below ~10^7 rows).",
     ]
     out.write_text("\n".join(lines) + "\n")
 
