@@ -108,8 +108,11 @@ def run_crawl_bench(cpus: int) -> dict:
 
     t0 = time.time()
     fetched = 0
+    timings: dict[str, float] = {}
     for m in eng.run(WAVES):
         fetched += m.get("urls_fetched", 0)
+        for k, v in m.get("timings", {}).items():
+            timings[k] = round(timings.get(k, 0.0) + v, 2)
     elapsed = time.time() - t0
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
@@ -118,6 +121,7 @@ def run_crawl_bench(cpus: int) -> dict:
         "urls_fetched": fetched,
         "seconds": round(elapsed, 2),
         "urls_per_sec": round(fetched / elapsed, 2) if elapsed > 0 else 0.0,
+        "phase_seconds": timings,
     }
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 import time
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from playwrightcrawler_spark import config
@@ -147,26 +147,40 @@ class CrawlEngine:
     # ------------------------------------------------- link hygiene pipeline
     def _classify_links(self, links: DataFrame) -> DataFrame:
         """P1 canonicalization + P4-P10 hygiene with a ``drop_reason``
-        column (NULL = keep). Input: (url, depth)."""
-        canon = links.withColumn("url", udfs.canonicalize_url(F.col("url")))
+        column (NULL = keep). Input: (url, depth).
+
+        Check ORDER matches the reference (preprocess_crawler_data,
+        playwrightcrawler.py:1846-1855): embedded-scheme and length caps
+        apply to the RAW url BEFORE sanitize_url — a >4096-char raw link
+        that would sanitize under the cap is still dropped, and the
+        drop_reason accounting reads the same column the predicate used."""
+        raw_reason = (
+            F.when(sqlfns.is_embedded(F.col("url")), "embedded")
+            .when(~sqlfns.length_ok(F.col("url")), "too_long")
+        )
+        canon = (
+            links.withColumn("_raw_reason", raw_reason)
+            .withColumn("url", udfs.canonicalize_url(F.col("url")))
+        )
         return (
             canon.withColumn("host", sqlfns.host_of(F.col("url")))
             .withColumn(
                 "drop_reason",
-                F.when(F.col("url") == "", "invalid")
-                .when(sqlfns.is_embedded(F.col("url")), "embedded")
-                .when(~sqlfns.length_ok(F.col("url")), "too_long")
-                .when(F.col("host").isNull() | (F.col("host") == ""), "no_host")
-                .when(sqlfns.host_block_listed(F.col("host")), "blocked_host")
-                .when(~sqlfns.host_allow_listed(F.col("host")), "not_allowed")
-                .when(sqlfns.url_block_listed(F.col("url")), "blocked_url")
-                .when(
-                    sqlfns.repeated_segments_prefilter(F.col("url"))
-                    & udfs.has_repeated_segments(F.col("url")),
-                    "repeated_segments",
-                )
-                .otherwise(F.lit(None)),
+                F.coalesce(
+                    F.col("_raw_reason"),
+                    F.when(F.col("url") == "", "invalid")
+                    .when(F.col("host").isNull() | (F.col("host") == ""), "no_host")
+                    .when(sqlfns.host_block_listed(F.col("host")), "blocked_host")
+                    .when(~sqlfns.host_allow_listed(F.col("host")), "not_allowed")
+                    .when(sqlfns.url_block_listed(F.col("url")), "blocked_url")
+                    .when(
+                        sqlfns.repeated_segments_prefilter(F.col("url"))
+                        & udfs.has_repeated_segments(F.col("url")),
+                        "repeated_segments",
+                    ),
+                ),
             )
+            .drop("_raw_reason")
         )
 
     @staticmethod
@@ -179,20 +193,47 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------- bootstrap
-    def bootstrap(self, seed_urls: list[str]) -> int:
-        """S5: seed ingestion → frontier v1 (same hygiene as links)."""
-        df = self.spark.createDataFrame([(u,) for u in seed_urls], "url string")
-        links = self._dedupe_links(self._classify_links(df.withColumn("depth", F.lit(0))))
-        rows = (
+    def _seed_rows(self, urls: DataFrame | list[str], wave: int) -> DataFrame:
+        """urls (list or DataFrame with a ``url`` column) → frontier-shaped
+        rows through the same hygiene as discovered links."""
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        links = self._dedupe_links(
+            self._classify_links(urls.select("url").withColumn("depth", F.lit(0)))
+        )
+        return (
             with_host_salt(links, buckets=config.HOST_SALT_BUCKETS)
             .withColumn("visited", F.lit(False))
-            .withColumns(self._frontier_row_cols(wave=0))
+            .withColumns(self._frontier_row_cols(wave=wave))
             .dropDuplicates(["url_hash"])
             .select(*FRONTIER_COLS)
         )
+
+    def bootstrap(self, seed_urls: DataFrame | list[str]) -> int:
+        """S5: seed ingestion → frontier v1 (same hygiene as links). Accepts
+        a DataFrame so a 10^8-line seed folder never touches the driver."""
+        rows = self._seed_rows(seed_urls, wave=0)
         self.lake.frontier.write(rows, meta={"wave": 0, "op": "bootstrap"})
         self._frontier_cur = self.lake.frontier.read(self.spark)
         return self._frontier_cur.count()
+
+    def ingest(self, seed_urls: DataFrame | list[str]) -> int:
+        """S5 on a LIVE crawl (reference process_input_url_files runs
+        continuously): merge new seed rows into the existing frontier —
+        anti-join against it, never overwrite it. Falls back to bootstrap
+        when the frontier doesn't exist yet."""
+        if not self.lake.frontier.exists():
+            return self.bootstrap(seed_urls)
+        wave = self.last_committed_wave() + 1
+        frontier_df = self._frontier()
+        new_rows = self._seed_rows(seed_urls, wave=wave).join(
+            frontier_df.select("url_hash"), on="url_hash", how="left_anti"
+        )
+        obs = Observation()
+        new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        self.lake.frontier.append(self.spark, new_rows, meta={"op": "ingest"})
+        self._frontier_cur = self.lake.frontier.read(self.spark)
+        return int(_obs_get(obs, {"n": 0})["n"])
 
     # ------------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
@@ -206,33 +247,62 @@ class CrawlEngine:
         frontier_df = self._frontier()
         candidates = frontier_df.filter(~F.col("visited"))
 
-        method, wave_df = fr.weighted_select(
+        method, selected = fr.weighted_select(
             candidates,
             size=self.wave_size,
             seed=self.seed + wave,
             quota=self.quota,
             weights=self.method_weights,
         )
+        selected = selected.select("url", "url_hash", "host", "depth")
+        robots_denied = 0
         if self.robots is not None:
-            # north_rule: broadcast the (tiny) robots table; drop disallowed
-            wave_df = (
-                wave_df.join(F.broadcast(self.robots), on="host", how="left")
+            # north_rule: broadcast the (tiny) robots table. Disallowed rows
+            # are NOT crawled but ARE consumed (visited-flipped below) —
+            # otherwise the same denied rows win the selection every wave
+            # and a fully-denied wave would masquerade as frontier-exhausted.
+            selected = (
+                selected.join(F.broadcast(self.robots), on="host", how="left")
                 .withColumn(
-                    "_disallowed",
+                    "_denied",
                     F.exists(
                         F.coalesce("disallow_prefixes", F.array()),
                         lambda p: sqlfns.path_of(F.col("url")).startswith(p),
                     ),
                 )
-                .filter(~F.col("_disallowed"))
-                .drop("_disallowed", "disallow_prefixes", "crawl_delay_ms")
             )
-        wave_df = wave_df.select("url", "url_hash", "host", "depth").cache()
-        urls_selected = wave_df.count()  # ACTION 1 (policy window + quota)
+            # crawl_delay_ms (north_rule politeness): a host that asks for a
+            # delay gets at most one URL per wave regardless of the quota
+            w_delay = Window.partitionBy("host").orderBy("url")
+            selected = (
+                selected.withColumn(
+                    "_denied",
+                    F.col("_denied")
+                    | (
+                        F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).cast("long") > 0
+                    ) & (F.row_number().over(w_delay) > 1),
+                )
+                .drop("disallow_prefixes", "crawl_delay_ms")
+            )
+        else:
+            selected = selected.withColumn("_denied", F.lit(False))
+        selected = selected.cache()
+        # ACTION 1: one aggregate gives pre-robots total + denied split
+        sel_counts = {
+            bool(r["_denied"]): r["n"]
+            for r in selected.groupBy("_denied").agg(F.count("*").alias("n")).collect()
+        }
+        candidates_selected = sum(sel_counts.values())
+        robots_denied = sel_counts.get(True, 0)
+        urls_selected = sel_counts.get(False, 0)
         mark("t_select")
-        if urls_selected == 0:
-            wave_df.unpersist()
+        if candidates_selected == 0:
+            # terminal ONLY when the pre-robots selection is empty — a wave
+            # in which every selected URL is robots-denied still progresses
+            # (the denied rows are flipped visited below via `selected`)
+            selected.unpersist()
             return {"wave": wave, "method": method, "urls_selected": 0, "done": True}
+        wave_df = selected.filter(~F.col("_denied")).drop("_denied")
 
         # partition target for the wave-sized frames: enough slices to use
         # the cores, never hundreds of near-empty python-UDF tasks
@@ -358,8 +428,10 @@ class CrawlEngine:
             )
 
         # one broadcast left-join flips visited for the wave's rows —
-        # cheaper than anti+semi+union and identical semantics
-        hit = wave_df.select("url_hash").withColumn("_hit", F.lit(True))
+        # cheaper than anti+semi+union and identical semantics. Uses
+        # `selected` (allowed ∪ robots-denied): denied rows are consumed
+        # too, so they can never win a later selection.
+        hit = selected.select("url_hash").withColumn("_hit", F.lit(True))
         updated = (
             frontier_df.join(F.broadcast(hit), "url_hash", "left")
             .withColumn("visited", F.when(F.col("_hit"), True).otherwise(F.col("visited")))
@@ -392,6 +464,7 @@ class CrawlEngine:
         ]
         scalar = [
             (wave, "wave", "urls_selected", urls_selected),
+            (wave, "wave", "robots_denied", robots_denied),
             (wave, "wave", "urls_fetched", int(crawl_stats["fetched_ok"])),
             (wave, "wave", "pages_missing", urls_selected - int(crawl_stats["fetched_ok"])),
             (wave, "wave", "emails", int(crawl_stats["emails"])),
@@ -414,7 +487,7 @@ class CrawlEngine:
         )  # ACTION 5 (driver-local)
         mark("t_metrics")
 
-        unp = [wave_df, fetched, html_pages, raw_links]
+        unp = [selected, fetched, html_pages, raw_links]
         if self.bucket_lineage:
             unp.append(insert_rows)
         for df in unp:
@@ -423,6 +496,7 @@ class CrawlEngine:
             "wave": wave,
             "method": method,
             "urls_selected": urls_selected,
+            "robots_denied": robots_denied,
             "urls_fetched": int(crawl_stats["fetched_ok"]),
             "links_seen": int(link_stats["links_seen"]),
             "links_new": links_new,
@@ -442,9 +516,12 @@ class CrawlEngine:
         2× the wave's bytes. The enrichment projection is applied ONCE to
         the union so whole-stage codegen stays under the method-size
         limit."""
+        # replacement-decode, never strict: an invalid-UTF-8 text payload
+        # must yield U+FFFD (reference chardet/replace path), not abort the
+        # whole wave write under ANSI MALFORMED_CHARACTER_CODING
         plain_text = F.when(
             F.col("route") == "plain_text",
-            F.substring(F.decode("html", "UTF-8"), 1, config.MAX_WEBCONTENT_SIZE),
+            F.substring(sniff.decode_utf8_replace(F.col("html")), 1, config.MAX_WEBCONTENT_SIZE),
         )
 
         def shape(df, text_col, words_col, od_col, od_pat_col, source_col):

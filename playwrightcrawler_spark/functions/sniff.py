@@ -55,6 +55,14 @@ _EXT_MIME = {
 }
 
 
+def decode_utf8_replace(b: Column) -> Column:
+    """binary → string with U+FFFD replacement (Python ``errors='replace'``
+    analogue, reference get_words playwrightcrawler.py:2553-2558) that can
+    never raise under ANSI mode: the binary→string cast wraps the bytes
+    unvalidated and make_valid_utf8 substitutes invalid sequences."""
+    return F.make_valid_utf8(b.cast("string"))
+
+
 def sniff_content_type(html: Column, file_ext: Column) -> Column:
     """MIME type from magic bytes → extension → markup sniff → text/plain.
     NULL payloads (dead links) yield '' — the reference's empty-ctype
@@ -71,8 +79,13 @@ def sniff_content_type(html: Column, file_ext: Column) -> Column:
     pairs = ",".join(f"{k}:{v}" for k, v in _EXT_MIME.items())
     ext_map = F.expr(f"str_to_map('{pairs}', ',', ':')")
     by_ext = F.element_at(ext_map, F.lower(file_ext))
-    # markup / JSON sniff on a short decoded prefix
-    prefix_txt = F.ltrim(F.decode(F.substring(html, 1, 256), "UTF-8"))
+    # markup / JSON sniff on a short decoded prefix. NOT F.decode: under
+    # Spark 4 ANSI mode a strict UTF-8 decode raises MALFORMED_CHARACTER_
+    # CODING whenever the 256-byte cut splits a multibyte char (any valid
+    # UTF-8 page!) or the payload isn't UTF-8. binary→string cast never
+    # validates, and make_valid_utf8 replaces bad sequences with U+FFFD —
+    # the reference's errors='replace' semantics, fully JVM-side.
+    prefix_txt = F.ltrim(decode_utf8_replace(F.substring(html, 1, 256)))
     sniffed = (
         F.when(prefix_txt.startswith("<!DOCTYPE") | prefix_txt.startswith("<html")
                | prefix_txt.startswith("<HTML"), "text/html")

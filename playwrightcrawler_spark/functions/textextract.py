@@ -91,6 +91,32 @@ class _TextAndLinkWalker(HTMLParser):
         if parent not in TAG_BLOCKLIST:
             self.text_parts.append(data)
 
+    # Comment / Doctype / ProcessingInstruction / CData nodes: bs4's
+    # ``find_all(string=True)`` returns these as NavigableStrings too (the
+    # reference pipeline therefore includes them — a '<!DOCTYPE html>'
+    # contributes the text 'html'), so the stdlib walker must emit the same
+    # payloads, subject to the same parent blocklist. The transformations
+    # below mirror bs4's _htmlparser.py treebuilder exactly.
+    def handle_comment(self, data):
+        self.handle_data(data)
+
+    def handle_decl(self, data):
+        # bs4 strips the 'DOCTYPE ' prefix ('<!DOCTYPE html>' → 'html')
+        if data.startswith("DOCTYPE "):
+            data = data[len("DOCTYPE "):]
+        elif data == "DOCTYPE":
+            data = ""
+        self.handle_data(data)
+
+    def handle_pi(self, data):
+        self.handle_data(data)
+
+    def unknown_decl(self, data):
+        # bs4: '<![CDATA[x]]>' → CData('x'); other '<![...]>' → Declaration
+        if data.startswith("CDATA["):
+            data = data[len("CDATA["):]
+        self.handle_data(data)
+
     def _harvest_link(self, tag, attrs):
         want = "href" if tag in ("a", "link") else "src" if tag in ("script", "img") else None
         if want is None:
@@ -113,6 +139,46 @@ def _walk(html: str) -> _TextAndLinkWalker:
     return w
 
 
+_LINK_ATTR = {"a": "href", "link": "href", "script": "src", "img": "src"}
+
+
+def parse_html(html: str) -> tuple[list[str], list[str]]:
+    """THE single parser-selection point: html string → (text_parts, links).
+
+    Every extraction path (``extract_text``, ``extract_links``,
+    ``words_from_html`` and the fused crawl-hot-path UDF ``extract_all``)
+    goes through here, so the engine can never use different parsers on
+    different paths. When bs4 is importable (production clusters — the
+    reference's requirements.txt ships it) the parse is BeautifulSoup
+    ``html.parser`` — the very library the reference uses
+    (get_min_webcontent, playwrightcrawler.py:3733-3768); otherwise the
+    stdlib walker above implements the identical spec (pinned to the bs4
+    path by golden fixtures in tests/test_textextract.py).
+
+    text_parts are UNSTRIPPED node payloads (callers strip/join per their
+    reference op); links are first-seen-order href/src of a/link/script/img.
+    """
+    if not html:
+        return [], []
+    if _HAVE_BS4:
+        soup = BeautifulSoup(html, "html.parser")
+        parts = [
+            str(t)
+            for t in soup.find_all(string=True)
+            if t.parent.name not in TAG_BLOCKLIST
+        ]
+        links: list[str] = []
+        seen: set[str] = set()
+        for el in soup.find_all(list(_LINK_ATTR)):
+            v = el.get(_LINK_ATTR[el.name])
+            if isinstance(v, str) and v not in seen:
+                seen.add(v)
+                links.append(v)
+        return parts, links
+    w = _walk(html)
+    return w.text_parts, w.links
+
+
 def extract_text(raw, max_size: int = config.MAX_WEBCONTENT_SIZE) -> str:
     """Visible-text extraction — the per-url byte-identical invariant.
 
@@ -121,19 +187,8 @@ def extract_text(raw, max_size: int = config.MAX_WEBCONTENT_SIZE) -> str:
     empties dropped, joined with one space; result truncated to
     ``max_size`` chars (reference :3437-3439).
     """
-    html = decode_html(raw)
-    if not html:
-        return ""
-    if _HAVE_BS4:
-        soup = BeautifulSoup(html, "html.parser")
-        parts = [
-            t.strip()
-            for t in soup.find_all(string=True)
-            if t.parent.name not in TAG_BLOCKLIST
-        ]
-    else:
-        parts = [t.strip() for t in _walk(html).text_parts]
-    combined = " ".join(p for p in parts if p)
+    parts, _ = parse_html(decode_html(raw))
+    combined = " ".join(p for p in (t.strip() for t in parts) if p)
     return combined[:max_size]
 
 
@@ -141,20 +196,8 @@ def extract_links(raw) -> list[str]:
     """Raw, unresolved link attributes in first-seen order (the reference
     browser walk dedups via a set with no order guarantee; first-seen order
     makes the distributed run reproducible)."""
-    html = decode_html(raw)
-    if not html:
-        return []
-    if _HAVE_BS4:
-        soup = BeautifulSoup(html, "html.parser")
-        out, seen = [], set()
-        for tag, attr in (("a", "href"), ("link", "href"), ("script", "src"), ("img", "src")):
-            for el in soup.find_all(tag):
-                v = el.get(attr)
-                if isinstance(v, str) and v not in seen:
-                    seen.add(v)
-                    out.append(v)
-        return out
-    return _walk(html).links
+    _, links = parse_html(decode_html(raw))
+    return links
 
 
 # ---------------------------------------------------------------------------
@@ -192,14 +235,7 @@ def words_from_html(raw) -> list[str]:
     """Reference get_words_from_soup (playwrightcrawler.py:2199-2232):
     same DOM walk but parts joined UNSTRIPPED (differs from extract_text),
     then ranked by ``top_words``."""
-    html = decode_html(raw)
-    if not html:
-        return []
-    if _HAVE_BS4:
-        soup = BeautifulSoup(html, "html.parser")
-        parts = [t for t in soup.find_all(string=True) if t.parent.name not in TAG_BLOCKLIST]
-    else:
-        parts = _walk(html).text_parts
+    parts, _ = parse_html(decode_html(raw))
     return top_words(" ".join(parts))
 
 

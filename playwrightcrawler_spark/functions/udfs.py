@@ -149,19 +149,22 @@ _EXTRACT_ALL_SCHEMA = T.StructType([
 def extract_all(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
     """Fused E1+E2/E5+E4+E6: ONE decode + ONE DOM walk per page produces
     text, word list, raw links and the open-dir verdict — the individual
-    UDFs above each re-parse the html; the crawl hot path must not."""
+    UDFs above each re-parse the html; the crawl hot path must not.
+    Parser selection is shared with ``extract_text`` via
+    ``textextract.parse_html`` (bs4 when installed, stdlib walker here),
+    so the hot path and the invariant path can never diverge."""
     rows = []
     for raw, url in zip(html, urls):
         content = textextract.decode_html(raw)
         if not content:
             rows.append(("", [], [], False, ""))
             continue
-        walker = textextract._walk(content)
-        stripped = [t.strip() for t in walker.text_parts]
+        parts, links = textextract.parse_html(content)
+        stripped = [t.strip() for t in parts]
         text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
-        words = textextract.top_words(" ".join(walker.text_parts))
+        words = textextract.top_words(" ".join(parts))
         od_flag, od_pat = textextract.is_open_directory(content, url or "")
-        rows.append((text, words, walker.links, od_flag, od_pat))
+        rows.append((text, words, links, od_flag, od_pat))
     return pd.DataFrame(
         rows,
         columns=["text_extracted", "words", "raw_links", "isopendir", "opendir_pattern"],

@@ -332,7 +332,9 @@ def q_fingerprints(spark, sf_dir):
 def _fixture_pages(spark) -> str:
     from playwrightcrawler_spark.sources import pages_gen
 
-    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages.parquet")
+    # versioned name: the fixture content derives from the extraction
+    # kernels, so a kernel change must invalidate the cached parquet
+    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages_v2.parquet")
     if not os.path.exists(path):
         pages_gen.write_pages_fixture(path)
     return path

@@ -49,11 +49,13 @@ def _page_html(url: str, host: str, idx: int, links: list[str], rng: random.Rand
     tie_words = f"alpha{idx % 5} beta{idx % 5} alpha{idx % 5} gamma{(idx + 1) % 5}"
     long_word = "w" * 41  # excluded: > WORDS_MAX_LEN
     edge = "abc abcd " + long_word + " " + "x" * 40
-    body = f"""<html><head><title>Page {idx} on {host}</title>
+    body = f"""<!DOCTYPE html>
+<html><head><title>Page {idx} on {host}</title>
 <script>var tracker = "{rng.randint(0, 9999)}";</script>
 <style>.c{{color:#000}}</style>
 </head>
 <body>
+<!-- comment node {idx}: bs4 find_all(string=True) includes me -->
 <h1>Heading {idx}</h1>
 <p>Deterministic body text for page {idx} of host {host}.
    {tie_words} {edge}</p>
@@ -116,6 +118,8 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
             "/fonts/fonts/fonts/trap.css",                        # repeated-segment trap
             "https://seed0.example.org/page#frag",                # fragment
             "https://long.example.com/" + "a" * 4200,             # over-long
+            "https://broken.example.com/latin.txt",               # invalid UTF-8 body (reachable!)
+            "https://text.example.com/noext",                     # no extension → sniff path
         ]
         add(seed_url, _page_html(seed_url, host, i, links, rng))
 
@@ -195,8 +199,15 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
         "plain text words fixture naïve café words words\n".encode(),
         is_html=False,
     )
-    # broken encoding (chardet path analogue: utf-8 replacement decode)
+    # broken encoding (chardet path analogue: utf-8 replacement decode);
+    # linked from every seed page, so the decode path is actually exercised
     add("https://broken.example.com/latin.txt", b"caf\xe9 broken bytes", is_html=False)
+    # extensionless URL whose 256-byte sniff prefix cuts a multibyte char in
+    # half (é spans bytes 256-257): a strict ANSI decode of the prefix would
+    # abort the wave — the sniff must use replacement decoding
+    noext_body = ("x" * 255 + "é une page de texte en français ").encode("utf-8")
+    assert noext_body[255] == 0xC3 and noext_body[256] == 0xA9  # é straddles the cut
+    add("https://text.example.com/noext", noext_body + b"mots " * 20, is_html=False)
 
     # extra long-tail hosts, a few pages each, random-ish interlinks
     for h in range(n_extra_hosts):

@@ -26,8 +26,9 @@ def read_seed_folder(spark: SparkSession, folder: str) -> DataFrame:
 
 
 def ingest_seeds(engine, folder: str) -> int:
-    """Folder → frontier MERGE via the engine's bootstrap hygiene."""
-    urls = [r.url for r in read_seed_folder(engine.spark, folder).collect()]
-    if not urls:
-        return 0
-    return engine.bootstrap(urls)
+    """Folder → frontier MERGE, fully distributed: the seed DataFrame flows
+    through the engine's link hygiene and is anti-joined against the live
+    frontier (never collected to the driver, never overwriting the
+    frontier — reference process_input_url_files runs DURING a crawl).
+    Returns the number of NEW frontier rows."""
+    return engine.ingest(read_seed_folder(engine.spark, folder))

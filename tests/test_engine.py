@@ -152,6 +152,82 @@ def test_resume_identical(spark, pages_dir, tmp_path_factory):
     assert ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
 
 
+def test_invalid_utf8_and_noext_pages_survive_decode(spark, pages_dir, tmp_path_factory):
+    """ANSI-mode decode hardening: a reachable invalid-UTF-8 plain-text page
+    and an extensionless page whose 256-byte sniff prefix splits a multibyte
+    char must be crawled (replacement semantics), not abort the wave."""
+    wh = tmp_path_factory.mktemp("wh_decode")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=500, per_host_quota=50,
+                      method_weights={"oldest": 1})
+    eng.run(2, seed_urls=pages_gen.seed_urls())
+    rows = {
+        r.url: r
+        for r in eng.lake.crawled.read(spark)
+        .filter(F.col("url").isin(
+            "https://broken.example.com/latin.txt",
+            "https://text.example.com/noext",
+        ))
+        .collect()
+    }
+    broken = rows["https://broken.example.com/latin.txt"]
+    assert broken.route == "plain_text"
+    assert broken.text == "caf� broken bytes"  # errors='replace' parity
+    noext = rows["https://text.example.com/noext"]
+    assert noext.route == "plain_text"               # sniff survived the split char
+    assert "français" in noext.text and "�" not in noext.text
+
+
+def test_robots_denied_marked_visited_not_reselected(spark, pages_dir, tmp_path_factory):
+    """Robots-disallowed rows are consumed (visited) instead of winning the
+    selection forever, and never produce crawled rows; a crawl-delay host is
+    capped at one URL per wave."""
+    robots = spark.createDataFrame(
+        [
+            ("seed0.example.org", ["/"], None),          # fully disallowed
+            ("mega.example.com", [], 1000),              # crawl-delay host
+        ],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    wh = tmp_path_factory.mktemp("wh_robots")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=300, per_host_quota=5,
+                      method_weights={"oldest": 1}, robots_rules=robots)
+    metrics = eng.run(3, seed_urls=pages_gen.seed_urls())
+    assert any(m.get("robots_denied", 0) > 0 for m in metrics)
+    crawled = eng.lake.crawled.read(spark)
+    assert crawled.filter(F.col("url") == "https://seed0.example.org/").count() == 0
+    fr = eng.lake.frontier.read(spark)
+    seed0 = fr.filter(F.col("url") == "https://seed0.example.org/").first()
+    assert seed0 is not None and seed0.visited          # consumed, not stuck
+    # crawl-delay politeness: at most 1 mega.example.com URL per wave
+    per_wave = (
+        crawled.filter((F.col("host") == "mega.example.com") & (F.col("route") != "email"))
+        .groupBy("wave").count()
+    )
+    assert per_wave.filter(F.col("count") > 1).count() == 0
+
+
+def test_seed_ingest_merges_into_live_frontier(spark, pages_dir, tmp_path_factory):
+    """S5 during a crawl: ingest must anti-join + append, never clobber the
+    frontier snapshot with only the new seed rows."""
+    wh = tmp_path_factory.mktemp("wh_ingest")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=50,
+                      method_weights={"oldest": 1})
+    eng.run(1, seed_urls=pages_gen.seed_urls())
+    before = eng.lake.frontier.read(spark).count()
+    added = eng.ingest([
+        "https://tail005.example.io/p1.html",       # genuinely new
+        "https://seed0.example.org/",               # already in frontier
+        "https://www.gstatic.com/blocked.js",       # hygiene-dropped
+    ])
+    fr = eng.lake.frontier.read(spark)
+    assert added == 1
+    assert fr.count() == before + 1                  # old rows all survive
+    assert fr.filter(F.col("url") == "https://seed0.example.org/").count() == 1
+    # crawl continues cleanly after the merge
+    m = eng.run_wave(eng.last_committed_wave() + 1)
+    assert m["urls_selected"] > 0
+
+
 def test_time_travel(crawl_result, spark):
     """S8 backup/restore analogue: earlier snapshots stay readable and
     smaller-or-equal than the head."""
