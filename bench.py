@@ -45,7 +45,9 @@ HEADLINE = [
     "seen_anti_join",
     "topk_words",
     "exact_dedup",
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs",        # oracle mode (md5) — correctness-pinned
+    "minhash_lsh_pairs_xxh",    # production mode (xxhash64) — the scale path
+    "embedding_near_dup",       # LSH-banded pairs (no cross join)
     "embedding_topk",
     "lang_id",
     "quality_scores",

@@ -10,12 +10,20 @@ provides the standard ladder, each as composable DataFrame ops:
 - n-gram Jaccard: verified similarity on candidate pairs
 - embedding cosine: near-dup by vector similarity (see similarity.py)
 
-Portability note: the hash primitive everywhere is md5 (identical across
-Spark and DuckDB) so each operator has an exact SQL oracle. At production
-scale you'd swap md5 → xxhash64 (same shape, 8× faster); the structure —
-explode → partial agg → band join — is what matters for scale: every step
-is map-side-combinable and the only shuffle is on (band_key) whose
-cardinality is bounded by the corpus, with skew bounded by band width.
+Hash modes: every operator takes ``hash_mode``:
+
+- ``"xxh64"`` (DEFAULT — the production path): JVM ``xxhash64`` longs,
+  numeric partial aggregates, no string materialization. ~8× cheaper than
+  md5 in the exploded-token hot loop.
+- ``"md5"`` (oracle mode): md5 hex strings, byte-identical across Spark
+  and DuckDB, so each operator keeps an exact SQL oracle. The CORRECTNESS
+  queries pin this mode; pytest pins the two modes to each other on the
+  guaranteed-recall invariants (every exact copy must pair in BOTH).
+
+The structure — explode → partial agg → band join — is identical in both
+modes and is what matters for scale: every step is map-side-combinable and
+the only shuffle is on (band_key) whose cardinality is bounded by the
+corpus, with skew bounded by band width.
 """
 
 from __future__ import annotations
@@ -47,10 +55,24 @@ def normalize_text(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def content_fingerprint(text, hash_mode: str = "xxh64"):
+    """Digest of the normalized text: xxhash64 hex (production) or md5 hex
+    (oracle mode — DuckDB md5 is identical)."""
+    norm = normalize_text(text)
+    if hash_mode == "md5":
+        return F.md5(norm)
+    return F.lower(F.hex(F.xxhash64(norm)))
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxh64",
+) -> DataFrame:
     """Keep the smallest id per distinct normalized text. One shuffle on the
-    16-byte digest; map-side combine makes it linear at any scale."""
-    fp = F.md5(normalize_text(F.col(text_col)))
+    digest; map-side combine makes it linear at any scale."""
+    fp = content_fingerprint(F.col(text_col), hash_mode)
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     return (
         df.withColumn("fingerprint", fp)
@@ -69,17 +91,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
-    """K independent min-hashes per document: explode tokens once, take
-    ``min(md5(seed || token))`` per seed. All K minimums come out of ONE
-    groupBy (K partial aggregates), so cost is one shuffle regardless of K."""
+    """K independent min-hashes per document: explode tokens once, take the
+    per-seed minimum hash. All K minimums come out of ONE groupBy (K partial
+    aggregates), so cost is one shuffle regardless of K. Production mode
+    hashes with ``xxhash64(seed, tok)`` — pure numeric codegen, no string
+    digests materialized in the exploded hot loop."""
     toks = (
         df.select(id_col, F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(s) + ":"), F.col("tok")))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
+    if hash_mode == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(s) + ":"), F.col("tok")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("tok"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
     return toks.groupBy(id_col).agg(*aggs)
 
 
@@ -88,15 +119,21 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 2,
+    hash_mode: str = "xxh64",
 ) -> DataFrame:
     """Band the signature, self-join on band key. Returns (id_a, id_b)
-    with id_a < id_b. The join key is md5(band) → uniform, skew-free."""
+    with id_a < id_b. The join key is a hash of the band → uniform,
+    skew-free."""
     rows = num_hashes // bands
     banded = sig
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        banded = banded.withColumn(f"band{b}", F.md5(F.concat_ws("|", *cols)))
+        if hash_mode == "md5":
+            band_key = F.md5(F.concat_ws("|", *cols))
+        else:
+            band_key = F.xxhash64(F.lit(b), *cols)
+        banded = banded.withColumn(f"band{b}", band_key)
         band_cols.append(f"band{b}")
     stacked = banded.select(
         id_col,

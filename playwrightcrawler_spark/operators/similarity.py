@@ -115,32 +115,63 @@ def lsh_topk(
     )
 
 
+def make_multiband_signature_udf(dim: int, bits: int, bands: int, seed: int):
+    """``bands`` independent hyperplane signatures per vector, one matmul
+    per Arrow batch (planes stacked): returns array<long> of length bands."""
+    planes = np.vstack([_planes(dim, bits, seed + 1000 * b) for b in range(bands)])
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits_m = (mat @ planes.T) > 0                    # (n, bands*bits)
+        sigs = bits_m.reshape(len(mat), bands, bits) @ weights
+        return pd.Series([row.tolist() for row in sigs])
+
+    return signatures
+
+
 def pairwise_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 8,
+    bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: bucket by signature, exact cosine within
-    buckets only (the O(N²) join never materializes across buckets)."""
-    dim = len(df.select(F.size(vec_col)).first()[0])
-    sig_udf = make_signature_udf(dim, bits, seed)
-    with_sig = df.select(id_col, vec_col).withColumn("bucket", sig_udf(F.col(vec_col)))
+    """Embedding near-dup pairs, LSH-banded: pairs sharing ANY of ``bands``
+    independent hyperplane signatures are candidates; exact cosine confirms.
+    The O(N²) join never materializes across buckets, identical vectors
+    collide in every band (guaranteed recall for exact copies), and
+    multi-band OR-amplification makes misses of cosine≥threshold pairs
+    exponentially unlikely — the scale-safe form of the reference-style
+    all-pairs check (SURVEY.md 'dedup:cosine')."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    sig_udf = make_multiband_signature_udf(dim, bits, bands, seed)
+    with_sig = (
+        df.select(id_col, vec_col)
+        .withColumn("_sigs", sig_udf(F.col(vec_col)))
+        .select(
+            id_col, vec_col,
+            F.posexplode(F.col("_sigs")).alias("band", "sig"),
+        )
+    )
     l = with_sig.select(
-        F.col("bucket"),
+        "band", "sig",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
     )
     r = with_sig.select(
-        F.col("bucket"),
+        "band", "sig",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
     )
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        l.join(r, "bucket")
+        l.join(r, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= threshold)

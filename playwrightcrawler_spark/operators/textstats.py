@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from playwrightcrawler_spark.operators.dedup import normalize_text, tokens_col
+from playwrightcrawler_spark.operators.dedup import tokens_col
 
 # Tiny, fixed stopword anchors per language — a deterministic n-gram/stopword
 # heuristic (not a model): hit ratios decide. Good enough to exercise the
@@ -101,10 +101,16 @@ def token_counts(df: DataFrame, text_col: str = "text", group_col: str = "lang")
     )
 
 
-def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Canonical content fingerprint (md5 of whitespace-collapsed lowercase
-    text) — the join key for cross-snapshot dedup."""
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_mode: str = "xxh64",
+) -> DataFrame:
+    """Canonical content fingerprint of whitespace-collapsed lowercase text
+    — the join key for cross-snapshot dedup. xxhash64 in production; md5
+    under oracle mode (DuckDB-portable)."""
+    from playwrightcrawler_spark.operators.dedup import content_fingerprint
+
     return df.select(
         id_col,
-        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        content_fingerprint(F.col(text_col), hash_mode).alias("fingerprint"),
     )

@@ -239,16 +239,23 @@ ORACLES: dict[str, str] = {
         SELECT vec_id, round(c, 6) AS cosine
         FROM s ORDER BY cosine DESC, vec_id LIMIT 20
     """,
+    # brute-force all-pairs ground truth: the Spark side answers with the
+    # LSH-banded plan — identical rows prove the bucketed path is lossless
     "embedding_near_dup": f"""
-        WITH e AS (
+        WITH e0 AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings WHERE vec_id < 150
+        ),
+        e AS (
+            SELECT * FROM e0
+            UNION ALL SELECT vec_id + 1000000 AS vec_id, v FROM e0
         ),
         p AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE} AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        ORDER BY id_a, id_b
     """,
     # ------------------------------------------------------- text analytics
     "lang_id": f"""

@@ -217,29 +217,44 @@ def _docs_with_copies(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    """[dedup:exact] survivors of hash-groupBy dedup over doc ∪ copy."""
-    dd = dedup.exact_dedup(_docs_with_copies(spark, sf_dir))
+    """[dedup:exact] survivors of hash-groupBy dedup over doc ∪ copy
+    (hash_mode='md5' = oracle mode; production default is xxh64)."""
+    dd = dedup.exact_dedup(_docs_with_copies(spark, sf_dir), hash_mode="md5")
     return dd.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """[dedup:minhash] 8-hash MinHash signatures (md5-min per seed)."""
+    """[dedup:minhash] 8-hash MinHash signatures (oracle mode: md5-min per
+    seed, byte-identical in DuckDB)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dedup.minhash_signatures(docs).orderBy("doc_id")
+    return dedup.minhash_signatures(docs, hash_mode="md5").orderBy("doc_id")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """[dedup:lsh] banded self-join candidates over doc ∪ copy: every doc
-    must pair with its copy."""
+    must pair with its copy (oracle mode)."""
     both = _docs_with_copies(spark, sf_dir)
-    sig = dedup.minhash_signatures(both)
-    return dedup.lsh_candidate_pairs(sig).orderBy("id_a", "id_b")
+    sig = dedup.minhash_signatures(both, hash_mode="md5")
+    return dedup.lsh_candidate_pairs(sig, hash_mode="md5").orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh_pairs_xxh(spark, sf_dir):
+    """[dedup:lsh production] the same banded pipeline on the xxhash64
+    production path — numeric min-hashes, no md5 strings in the exploded
+    hot loop (~8× cheaper; the headline bench times THIS). Rows-only in
+    CORRECTNESS (DuckDB has no xxhash64); pytest pins its guaranteed-recall
+    invariant to the md5 path: every exact copy pairs in both modes."""
+    both = _docs_with_copies(spark, sf_dir)
+    sig = dedup.minhash_signatures(both, hash_mode="xxh64")
+    return dedup.lsh_candidate_pairs(sig, hash_mode="xxh64").orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf_dir):
     """[dedup:jaccard] exact 3-gram Jaccard verification on candidate pairs."""
     both = _docs_with_copies(spark, sf_dir)
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(both))
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(both, hash_mode="md5"), hash_mode="md5"
+    )
     return dedup.jaccard_verify(both, pairs, threshold=0.8).orderBy("id_a", "id_b")
 
 
@@ -269,21 +284,19 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """[dedup:cosine] all pairs with cosine >= 0.95 among first 150 vectors
-    (exact; the LSH-bucketed variant is q_embedding_lsh_topk)."""
+    """[dedup:cosine] all pairs with cosine >= 0.95 over vectors ∪ exact
+    copies, via the LSH-BANDED scale path (no cross join anywhere in the
+    plan): candidates share one of 4 hyperplane-signature bands, exact
+    cosine confirms. The DuckDB oracle is the brute-force all-pairs check —
+    identical rows prove the bucketed plan loses nothing. Copies (id+1M)
+    guarantee non-trivial output (the corpus has no natural ≥0.95 pair)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = similarity._dot(F.col("va"), F.col("vb")) / (
-        similarity._norm(F.col("va")) * similarity._norm(F.col("vb"))
+    both = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     )
-    return (
-        l.crossJoin(r)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") >= 0.95)
-        .select("id_a", "id_b", "cosine")
-    )
+    return similarity.pairwise_near_dups(
+        both, threshold=0.95, bits=8, bands=4
+    ).orderBy("id_a", "id_b")
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
@@ -320,9 +333,10 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
-    """[text:fingerprint] canonical md5 content fingerprints."""
+    """[text:fingerprint] canonical content fingerprints (oracle mode:
+    md5; production default is xxh64)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return textstats.fingerprints(docs).orderBy("doc_id")
+    return textstats.fingerprints(docs, hash_mode="md5").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +410,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_lsh_pairs_xxh": q_minhash_lsh_pairs_xxh,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_candidates": q_simhash_candidates,
     "embedding_topk": q_embedding_topk,

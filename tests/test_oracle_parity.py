@@ -84,6 +84,33 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_minhash_modes_agree_on_guaranteed_recall(spark, sf_dir):
+    """Production (xxh64) and oracle (md5) LSH must BOTH pair every doc
+    with its exact copy — identical texts have identical signatures in any
+    hash mode, so the copy-pair set is mode-invariant."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    from playwrightcrawler_spark.operators import dedup
+
+    for mode in ("xxh64", "md5"):
+        sig = dedup.minhash_signatures(both, hash_mode=mode)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(sig, hash_mode=mode).collect()
+        }
+        missing = [i for i in ids if (i, i + 1_000_000) not in pairs]
+        assert not missing, (mode, missing[:5])
+
+
 def test_pages_extract_invariant(spark, sf_dir):
     """Every html fixture page must extract byte-identically."""
     df = entrymod.queries()["pages_extract"](spark, sf_dir)

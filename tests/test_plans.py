@@ -75,3 +75,14 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
     df = q_embedding_topk(spark, sf_dir)
     assert "TakeOrderedAndProject" in audit.physical_plan(df)
+
+
+def test_near_dup_plan_has_no_cartesian(spark, sf_dir):
+    """The exposed embedding_near_dup must be the LSH-banded equi-join —
+    never a cross join (the brute-force all-pairs form lives only in the
+    DuckDB oracle)."""
+    from playwrightcrawler_spark.queries import q_embedding_near_dup
+
+    plan = audit.physical_plan(q_embedding_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
