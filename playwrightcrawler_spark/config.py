@@ -93,10 +93,13 @@ PER_HOST_WAVE_QUOTA = 1
 HOST_SALT_BUCKETS = 64
 
 # Bloom pre-filter sizing for the URL-seen set (J1 pre-test). The Bloom is a
-# pre-filter ONLY — an exact anti-join confirms, so false positives never
+# pre-filter ONLY — an exact confirm join follows, so false positives never
 # drop URLs (mirrors the _id exactness of playwrightcrawler.py:1431-1456).
+# Sizing is PER host_salt BUCKET and must stay constant for a warehouse
+# (bloom union = bitwise OR requires equal m/k).
 BLOOM_EXPECTED_ITEMS = 10_000_000
 BLOOM_FPP = 0.01
+BLOOM_ITEMS_PER_BUCKET = BLOOM_EXPECTED_ITEMS // HOST_SALT_BUCKETS
 
 # default parallelism used by tests/bench on this sandbox
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from playwrightcrawler_spark import config
 from playwrightcrawler_spark.functions import routing, sniff, sqlfns, udfs
 from playwrightcrawler_spark.operators import frontier as fr
+from playwrightcrawler_spark.operators import seen
 from playwrightcrawler_spark.sources.tables import Lakehouse, with_host_salt
 
 _BASE_TS = datetime(2025, 6, 1, tzinfo=timezone.utc)
@@ -105,6 +106,9 @@ class CrawlEngine:
         robots_rules: DataFrame | None = None,
         bucket_lineage: bool = True,
         rebalance_fetch: bool = True,
+        use_bloom: bool = False,
+        bloom_items_per_bucket: int = config.BLOOM_ITEMS_PER_BUCKET,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -124,7 +128,18 @@ class CrawlEngine:
         # host-clustered table); skippable when selection is uniform —
         # it shuffles the whole wave's bytes.
         self.rebalance_fetch = rebalance_fetch
+        # Bloom seen-set pre-filter (north_rule). Off by default in the
+        # sandbox: the exact anti-join is cheaper below ~10^7 frontier rows
+        # (BENCH notes); at cluster scale this flag is the difference
+        # between scanning and SHUFFLING a 10^10-row table per wave.
+        self.use_bloom = use_bloom
+        self.bloom_items = bloom_items_per_bucket
+        # fold MoR deltas into a fresh base every K waves
+        self.compact_every = compact_every
         self._frontier_cur: DataFrame | None = None
+        self._bloom_rows: list | None = None
+        if use_bloom and self.lake.seen_bloom.exists():
+            self._bloom_rows = self.lake.seen_bloom.read(spark).collect()
 
     # ------------------------------------------------------------------ util
     def _pages(self) -> DataFrame:
@@ -215,7 +230,26 @@ class CrawlEngine:
         rows = self._seed_rows(seed_urls, wave=0)
         self.lake.frontier.write(rows, meta={"wave": 0, "op": "bootstrap"})
         self._frontier_cur = self.lake.frontier.read(self.spark)
+        self._bloom_update(self._frontier_cur)
         return self._frontier_cur.count()
+
+    def _bloom_update(self, insert_rows: DataFrame) -> None:
+        """OR-merge a Bloom over freshly inserted url_hashes into the
+        per-bucket sidecar: O(wave) build where the data lives, one collect
+        of the 64-row sidecar, driver-side parquet write (no extra Spark
+        write job). The sidecar is part of the checkpoint — resume reloads
+        it instead of rebuilding."""
+        if not self.use_bloom:
+            return
+        new = seen.build_blooms(
+            insert_rows.select("host_salt", "url_hash"),
+            expected_items_per_bucket=self.bloom_items,
+        )
+        if self._bloom_rows:
+            new = seen.merge_blooms(self.lake.seen_bloom.read(self.spark), new)
+        rows = [r.asDict() for r in new.collect()]
+        self.lake.seen_bloom.write_rows(rows, seen.SIDECAR_PA_SCHEMA)
+        self._bloom_rows = rows
 
     def ingest(self, seed_urls: DataFrame | list[str]) -> int:
         """S5 on a LIVE crawl (reference process_input_url_files runs
@@ -226,13 +260,17 @@ class CrawlEngine:
             return self.bootstrap(seed_urls)
         wave = self.last_committed_wave() + 1
         frontier_df = self._frontier()
-        new_rows = self._seed_rows(seed_urls, wave=wave).join(
-            frontier_df.select("url_hash"), on="url_hash", how="left_anti"
+        new_rows = seen.anti_join_seen(
+            self._seed_rows(seed_urls, wave=wave),
+            frontier_df,
+            self.spark,
+            blooms=self._bloom_rows if self.use_bloom else None,
         )
         obs = Observation()
         new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n"))
         self.lake.frontier.append(self.spark, new_rows, meta={"op": "ingest"})
         self._frontier_cur = self.lake.frontier.read(self.spark)
+        self._bloom_update(self._frontier_cur.filter(F.col("wave") == wave))
         return int(_obs_get(obs, {"n": 0})["n"])
 
     # ------------------------------------------------------------- one wave
@@ -403,13 +441,19 @@ class CrawlEngine:
                 for r in DROP_REASONS
             ],
         )
-        new_links = (
-            self._dedupe_links(flagged)
-            .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
-            .join(frontier_df.select("url_hash"), on="url_hash", how="left_anti")
+        # J1/J5 seen-set membership. With use_bloom the frontier is only
+        # SCANNED (bloom negatives bypass it; positives broadcast-confirm);
+        # without, the exact anti-join (right side = frontier) is cheaper
+        # at sub-10^7 frontier sizes.
+        hashed = with_host_salt(
+            self._dedupe_links(flagged), buckets=config.HOST_SALT_BUCKETS
+        ).withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+        new_links = seen.anti_join_seen(
+            hashed, frontier_df, spark,
+            blooms=self._bloom_rows if self.use_bloom else None,
         )
         insert_rows = (
-            with_host_salt(new_links, buckets=config.HOST_SALT_BUCKETS)
+            new_links
             .withColumn("visited", F.lit(False))
             .withColumns(self._frontier_row_cols(wave))
             .select(*FRONTIER_COLS)
@@ -427,20 +471,20 @@ class CrawlEngine:
                 obs_insert, F.count(F.lit(1)).alias("links_new")
             )
 
-        # one broadcast left-join flips visited for the wave's rows —
-        # cheaper than anti+semi+union and identical semantics. Uses
-        # `selected` (allowed ∪ robots-denied): denied rows are consumed
-        # too, so they can never win a later selection.
-        hit = selected.select("url_hash").withColumn("_hit", F.lit(True))
-        updated = (
-            frontier_df.join(F.broadcast(hit), "url_hash", "left")
-            .withColumn("visited", F.when(F.col("_hit"), True).otherwise(F.col("visited")))
-            .withColumn("wave", F.when(F.col("_hit"), F.lit(wave).cast("int")).otherwise(F.col("wave")))
-            .drop("_hit")
-        )
-        merged = updated.select(*FRONTIER_COLS).unionByName(insert_rows)
-        frontier_version = self.lake.frontier.write(merged, meta={"wave": wave})  # ACTION 3
+        # O(wave) MoR commit (north_rule checkpoint/lineage): the increments
+        # are the wave's inserts + (url_hash, wave) visited-flips for every
+        # consumed row (`selected` = allowed ∪ robots-denied, so denied rows
+        # can never win a later selection). The frontier table itself is
+        # never rewritten here — read() applies flips as a broadcast join,
+        # and a compaction folds deltas into a fresh base every K waves.
+        flips = selected.select("url_hash").withColumn("wave", F.lit(wave).cast("int"))
+        frontier_version = self.lake.frontier.commit_wave(
+            inserts=insert_rows, flips=flips, meta={"wave": wave}
+        )  # ACTION 3 (two O(wave) writes)
+        if self.lake.frontier.deltas_since_base() >= self.compact_every:
+            self.lake.frontier.compact(spark, meta={"wave": wave})
         self._frontier_cur = self.lake.frontier.read(spark)
+        self._bloom_update(insert_rows)
         link_stats = _obs_get(
             obs_links,
             {"links_seen": 0, **{f"drop_{r}": 0 for r in DROP_REASONS}},

@@ -47,6 +47,16 @@ _SIDECAR_SCHEMA = (
     "host_salt int, m_bits long, k int, n_items long, bits binary"
 )
 
+import pyarrow as _pa
+
+SIDECAR_PA_SCHEMA = _pa.schema([
+    ("host_salt", _pa.int32()),
+    ("m_bits", _pa.int64()),
+    ("k", _pa.int32()),
+    ("n_items", _pa.int64()),
+    ("bits", _pa.binary()),
+])
+
 
 def bloom_params(expected_items: int, fpp: float = config.BLOOM_FPP) -> tuple[int, int]:
     """(m_bits, k) for the target false-positive rate; m rounded up to a

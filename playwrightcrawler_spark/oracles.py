@@ -135,6 +135,12 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey
     """,
+    # the Bloom path must be indistinguishable from the plain anti-join
+    "seen_bloom_prefilter": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
     "minmax_timestamp": """
         SELECT epoch_us(min(ts)) AS min_ts_us,
                epoch_us(max(ts)) AS max_ts_us,

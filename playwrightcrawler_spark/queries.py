@@ -132,6 +132,32 @@ def q_seen_anti_join(spark, sf_dir):
     )
 
 
+def q_seen_bloom_prefilter(spark, sf_dir):
+    """[J1/J5 at 10^10 scale] the partitioned-Bloom seen-set: bloom
+    pre-filter → broadcast confirm → exact subtraction. EXACT by
+    construction — the DuckDB oracle is the plain anti-join, and the rows
+    must match it bit for bit (false positives only cost a redundant
+    probe). customer ≙ discovered links, orders ≙ frontier."""
+    from playwrightcrawler_spark.operators import seen as seenops
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey", "c_name",
+            F.xxhash64(F.col("c_custkey").cast("string")).alias("url_hash"),
+        )
+        .withColumn("host_salt", F.pmod(F.col("url_hash"), F.lit(64)).cast("int"))
+    )
+    seen_keys = (
+        _t(spark, sf_dir, "orders")
+        .select(F.xxhash64(F.col("o_custkey").cast("string")).alias("url_hash"))
+        .withColumn("host_salt", F.pmod(F.col("url_hash"), F.lit(64)).cast("int"))
+    )
+    blooms = seenops.build_blooms(seen_keys, expected_items_per_bucket=4000)
+    out = seenops.anti_join_seen(cust, seen_keys, spark, blooms=blooms)
+    return out.select("c_custkey", "c_name").orderBy("c_custkey")
+
+
 def q_minmax_timestamp(spark, sf_dir):
     """[F6/A2/A3] the pivot-bounding aggregate + table count."""
     ev = _t(spark, sf_dir, "events")
@@ -401,6 +427,7 @@ QUERIES = {
     "frontier_fewest_urls": q_frontier_fewest_urls,
     "frontier_random_pivot": q_frontier_random_pivot,
     "seen_anti_join": q_seen_anti_join,
+    "seen_bloom_prefilter": q_seen_bloom_prefilter,
     "minmax_timestamp": q_minmax_timestamp,
     "latest_per_host": q_latest_per_host,
     "distribution_by_type": q_distribution_by_type,

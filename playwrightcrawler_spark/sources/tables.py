@@ -121,13 +121,12 @@ class SnapshotTable:
         return self.write(merged, meta)
 
     def write_rows(self, rows: list[dict], schema, meta: dict | None = None) -> int:
-        """Driver-local append for tiny frames (wave metrics): straight
-        pyarrow parquet, no Spark job. ``schema`` is a pyarrow schema.
-        Only valid for delta tables (increments)."""
+        """Driver-local write for tiny frames: straight pyarrow parquet, no
+        Spark job. ``schema`` is a pyarrow schema. For delta tables the rows
+        are an increment; for full tables they ARE the new snapshot (used by
+        the 64-row bloom sidecar)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        assert self.kind == "delta", "write_rows is for delta tables"
         v = (self.latest_version or 0) + 1
         d = Path(self._snap_dir(v))
         d.mkdir(parents=True, exist_ok=True)
@@ -141,16 +140,128 @@ class SnapshotTable:
         self.dir.mkdir(parents=True, exist_ok=True)
 
 
+class MorTable(SnapshotTable):
+    """Merge-on-read keyed table — the Iceberg MoR analogue for the
+    frontier. A wave commit writes ONLY the increments (O(wave), never
+    O(table)):
+
+    - ``inserts``: brand-new rows (full schema);
+    - ``flips``: ``(key, wave)`` visited-marks for rows selected this wave.
+
+    ``read()`` reconstructs current state WITHOUT shuffling the big side:
+    (base ∪ insert-deltas) LEFT JOIN broadcast(flips aggregated by key) —
+    the flip set is bounded by total-crawled, orders of magnitude below the
+    frontier (on real Iceberg this is positional-delete merge-on-read, no
+    join at all). ``compact()`` folds everything into a fresh base every K
+    waves so the delta list stays bounded; old snapshots remain immutable
+    (time travel / resume read any committed version)."""
+
+    FLIP_COLS = ("url_hash", "wave")
+
+    def __init__(self, root: str, name: str):
+        super().__init__(root, name, kind="mor")
+
+    def _is_base(self, entry: dict) -> bool:
+        return bool(entry.get("base"))
+
+    # -- commits --------------------------------------------------------------
+    def write(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Full base snapshot (bootstrap / compaction)."""
+        v = (self.latest_version or 0) + 1
+        df.write.mode("overwrite").parquet(self._snap_dir(v))
+        self._commit(v, {**(meta or {}), "base": True})
+        return v
+
+    def commit_wave(
+        self,
+        inserts: DataFrame | None,
+        flips: DataFrame | None,
+        meta: dict | None = None,
+    ) -> int:
+        """One atomic O(wave) commit: write increment files, then the
+        manifest rename publishes both (a kill mid-write leaves an
+        unreferenced directory, never a corrupt table)."""
+        v = (self.latest_version or 0) + 1
+        d = self._snap_dir(v)
+        if inserts is not None:
+            inserts.write.mode("overwrite").parquet(f"{d}/inserts")
+        if flips is not None:
+            flips.select(*self.FLIP_COLS).write.mode("overwrite").parquet(f"{d}/flips")
+        self._commit(v, {**(meta or {}), "base": False})
+        return v
+
+    def append(self, spark: SparkSession, df: DataFrame, meta: dict | None = None) -> int:
+        """Insert-only increment (seed ingestion)."""
+        return self.commit_wave(inserts=df, flips=None, meta=meta)
+
+    # -- reconstruction ---------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        entries = [e for e in self.versions() if e["version"] <= v]
+        base_vs = [e["version"] for e in entries if self._is_base(e)]
+        if not base_vs:
+            raise FileNotFoundError(f"table {self.name} has no base snapshot <= v{v}")
+        base_v = max(base_vs)
+        delta_vs = [e["version"] for e in entries if e["version"] > base_v]
+
+        rows = spark.read.parquet(self._snap_dir(base_v))
+        insert_dirs, flip_dirs = [], []
+        for dv in delta_vs:
+            d = Path(self._snap_dir(dv))
+            if (d / "inserts").exists():
+                insert_dirs.append(str(d / "inserts"))
+            if (d / "flips").exists():
+                flip_dirs.append(str(d / "flips"))
+        if insert_dirs:
+            rows = rows.unionByName(spark.read.parquet(*insert_dirs))
+        if flip_dirs:
+            flips = (
+                spark.read.parquet(*flip_dirs)
+                .groupBy("url_hash")
+                .agg(F.max("wave").alias("_flip_wave"))
+            )
+            rows = (
+                rows.join(F.broadcast(flips), on="url_hash", how="left")
+                .withColumn(
+                    "visited",
+                    F.when(F.col("_flip_wave").isNotNull(), True).otherwise(F.col("visited")),
+                )
+                .withColumn(
+                    "wave",
+                    F.when(F.col("_flip_wave").isNotNull(), F.col("_flip_wave").cast("int"))
+                    .otherwise(F.col("wave")),
+                )
+                .drop("_flip_wave")
+            )
+        return rows
+
+    def deltas_since_base(self) -> int:
+        entries = self.versions()
+        base_vs = [e["version"] for e in entries if self._is_base(e)]
+        if not base_vs:
+            return len(entries)
+        return len([e for e in entries if e["version"] > max(base_vs)])
+
+    def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
+        """Fold base+deltas into a new base (Iceberg rewrite_data_files)."""
+        return self.write(self.read(spark), {**(meta or {}), "op": "compact"})
+
+
 class Lakehouse:
     """The engine's table set rooted at one directory (FIXTURES.md A3-A6)."""
 
-    TABLES = ("frontier", "crawled", "wave_metrics", "robots_rules")
+    TABLES = ("frontier", "crawled", "wave_metrics", "robots_rules", "seen_bloom")
     _KINDS = {"crawled": "delta", "wave_metrics": "delta"}
 
     def __init__(self, root: str):
         self.root = root
         for t in self.TABLES:
-            setattr(self, t, SnapshotTable(root, t, kind=self._KINDS.get(t, "full")))
+            if t == "frontier":
+                setattr(self, t, MorTable(root, t))
+            else:
+                setattr(self, t, SnapshotTable(root, t, kind=self._KINDS.get(t, "full")))
 
     def describe(self) -> dict:
         return {

@@ -228,6 +228,31 @@ def test_seed_ingest_merges_into_live_frontier(spark, pages_dir, tmp_path_factor
     assert m["urls_selected"] > 0
 
 
+def test_bloom_crawl_identical_to_exact(spark, pages_dir, tmp_path_factory):
+    """use_bloom=True (pre-filter + broadcast confirm) must yield tables
+    identical to the exact anti-join path — the Bloom is a pre-filter only,
+    false positives never drop URLs (north_rule exactness contract)."""
+    results = {}
+    for label, flag in (("exact", False), ("bloom", True)):
+        wh = tmp_path_factory.mktemp(f"wh_{label}")
+        eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=100,
+                          per_host_quota=2, method_weights={"oldest": 1},
+                          use_bloom=flag, bloom_items_per_bucket=1000)
+        eng.run(3, seed_urls=pages_gen.seed_urls())
+        results[label] = eng
+    cols = ["url", "url_hash", "host", "depth", "visited", "wave"]
+    fa = results["exact"].lake.frontier.read(spark).select(cols)
+    fb = results["bloom"].lake.frontier.read(spark).select(cols)
+    assert fa.exceptAll(fb).count() == 0 and fb.exceptAll(fa).count() == 0
+    assert results["bloom"].lake.seen_bloom.exists()  # sidecar checkpointed
+    # resume reloads the sidecar instead of rebuilding
+    eng2 = CrawlEngine(spark, pages_dir,
+                       results["bloom"].lake.root, wave_size=100,
+                       per_host_quota=2, method_weights={"oldest": 1},
+                       use_bloom=True, bloom_items_per_bucket=1000)
+    assert eng2._bloom_rows, "sidecar not reloaded on resume"
+
+
 def test_time_travel(crawl_result, spark):
     """S8 backup/restore analogue: earlier snapshots stay readable and
     smaller-or-equal than the head."""
