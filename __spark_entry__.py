@@ -58,5 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from playwrightcrawler_spark.oracles import ORACLES
+    from playwrightcrawler_spark.queries import _fixture_pages
 
+    # crawl-domain oracles read the pages fixture parquet via DuckDB
+    # read_parquet — make sure it exists even if the oracle runs first
+    # (generation is pure pyarrow, no Spark session needed)
+    _fixture_pages(None)
     return dict(ORACLES)

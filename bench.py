@@ -219,9 +219,8 @@ def write_baseline_md(result: dict) -> None:
         lines += [
             f"| best-of-history @ N={SCALE_LOW} / 4N={SCALE_HIGH} CPUs | "
             f"{best_low} / {best_high} urls/s |",
-            f"| **best-of-history scaling efficiency** | **{best_eff}** "
-            f"(target >= 0.8; host interference only slows runs, so the "
-            f"max over repeats is the capability estimate) |",
+            f"| best-of-history scaling efficiency (context only — the "
+            f"official gate number is the LATEST run above) | {best_eff} |",
         ]
     if best_32:
         lines += [f"| best-of-history throughput @ local[{CPUS}] | {best_32} urls/s |"]
@@ -250,13 +249,19 @@ def write_baseline_md(result: dict) -> None:
         "  pair is pinned with taskset (local[N] caps JVM slots only —",
         "  python workers would otherwise use extra cores and understate",
         "  the ratio).",
-        "- minhash_lsh_pairs dominates the headline total: 8 md5",
-        "  min-hashes over ~5M exploded tokens (doc ∪ copy); md5 exists",
-        "  for DuckDB-oracle portability, production uses xxhash64 (~8x).",
-        "- Scale levers not exercisable in-sandbox: Iceberg bucket(url)",
-        "  layout + bloom row-group skipping for the per-wave pages scan;",
-        "  MERGE-on-read frontier commits; the partitioned-Bloom seen-set",
-        "  pre-filter (exact anti-join is cheaper below ~10^7 rows).",
+        "- minhash_lsh_pairs (md5) exists for DuckDB-oracle portability;",
+        "  minhash_lsh_pairs_xxh is the production path (numeric xxhash64",
+        "  min-hashes, no digest strings in the exploded hot loop) — the",
+        "  two timings above quantify the gap on identical plans.",
+        "- Engine scale paths exercised in-repo this round: O(wave)",
+        "  merge-on-read frontier commits (commit bytes proven flat under",
+        "  a 40x frontier, tests/test_tables_mor.py), the partitioned-",
+        "  Bloom seen-set pre-filter (zero big-side shuffles, exactness",
+        "  CORRECTNESS-checked as seen_bloom_prefilter; off in this bench",
+        "  — the exact anti-join is cheaper below ~10^7 frontier rows),",
+        "  month-partitioned crawled writes with partition pruning.",
+        "- Remaining Iceberg-only lever: bucket(url) layout + bloom",
+        "  row-group skipping for the per-wave pages scan.",
     ]
     out.write_text("\n".join(lines) + "\n")
 

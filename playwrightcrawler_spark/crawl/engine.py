@@ -109,6 +109,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         bloom_items_per_bucket: int = config.BLOOM_ITEMS_PER_BUCKET,
         compact_every: int = 16,
+        extract_raw_webcontent: bool = config.EXTRACT_RAW_WEBCONTENT,
     ):
         self.spark = spark
         self.pages_path = pages_path
@@ -118,6 +119,15 @@ class CrawlEngine:
         self.seed = seed
         self.method_weights = method_weights or config.METHOD_WEIGHTS
         self.hunt = hunt_open_directories
+        if isinstance(robots_rules, str) and robots_rules == "pages":
+            # north_rule robots compliance sourced from the corpus itself:
+            # parse every /robots.txt row in the pages table once; the
+            # result is host-count-sized, cached, and broadcast per wave
+            from playwrightcrawler_spark.functions import robotstxt
+
+            robots_rules = robotstxt.build_robots_rules(
+                spark.read.parquet(pages_path)
+            ).cache()
         self.robots = robots_rules
         # per-salt-bucket lineage rows cost one extra tiny job per wave;
         # throughput benches may turn them off (scalar metrics remain)
@@ -136,6 +146,11 @@ class CrawlEngine:
         self.bloom_items = bloom_items_per_bucket
         # fold MoR deltas into a fresh base every K waves
         self.compact_every = compact_every
+        # raw_webcontent column (reference EXTRACT_RAW_WEBCONTENT,
+        # config.py:128, truncation playwrightcrawler.py:3437): stored for
+        # html rows only; default off matches the reference. Must stay
+        # constant per warehouse (delta-table schema stability).
+        self.extract_raw = extract_raw_webcontent
         self._frontier_cur: DataFrame | None = None
         self._bloom_rows: list | None = None
         if use_bloom and self.lake.seen_bloom.exists():
@@ -292,7 +307,7 @@ class CrawlEngine:
             quota=self.quota,
             weights=self.method_weights,
         )
-        selected = selected.select("url", "url_hash", "host", "depth")
+        selected = selected.select("url", "url_hash", "host", "depth", "discovered_at")
         robots_denied = 0
         if self.robots is not None:
             # north_rule: broadcast the (tiny) robots table. Disallowed rows
@@ -310,17 +325,20 @@ class CrawlEngine:
                 )
             )
             # crawl_delay_ms (north_rule politeness): a host that asks for a
-            # delay gets at most one URL per wave regardless of the quota
-            w_delay = Window.partitionBy("host").orderBy("url")
+            # delay gets at most one URL per wave regardless of the quota.
+            # Overflow rows are DEFERRED (dropped from the wave, stay
+            # unvisited for later waves) — unlike robots-denied rows, which
+            # are consumed.
+            w_delay = Window.partitionBy("host").orderBy("discovered_at", "url")
             selected = (
                 selected.withColumn(
-                    "_denied",
-                    F.col("_denied")
-                    | (
-                        F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).cast("long") > 0
-                    ) & (F.row_number().over(w_delay) > 1),
+                    "_deferred",
+                    (~F.col("_denied"))
+                    & (F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).cast("long") > 0)
+                    & (F.row_number().over(w_delay) > 1),
                 )
-                .drop("disallow_prefixes", "crawl_delay_ms")
+                .filter(~F.col("_deferred"))
+                .drop("_deferred", "disallow_prefixes", "crawl_delay_ms")
             )
         else:
             selected = selected.withColumn("_denied", F.lit(False))
@@ -380,8 +398,16 @@ class CrawlEngine:
             .withColumn("route", F.lit("missing"))
         )
 
+        html_rows_in = fetched.filter(F.col("route") == "html")
+        if self.extract_raw:
+            html_rows_in = html_rows_in.withColumn(
+                "raw_webcontent",
+                F.substring(
+                    sniff.decode_utf8_replace(F.col("html")), 1, config.MAX_WEBCONTENT_SIZE
+                ),
+            )
         html_pages = udfs.with_extraction(
-            fetched.filter(F.col("route") == "html"), html_col="html", url_col="url"
+            html_rows_in, html_col="html", url_col="url"
         ).drop("html").cache()
 
         # ACTION 1c: materialize extraction once — the crawled write, the
@@ -551,6 +577,80 @@ class CrawlEngine:
             "done": False,
         }
 
+    # ------------------------------------------------- fast-extension pass
+    def run_fast_extension_pass(self, wave: int, size: int = 50_000) -> dict:
+        """X7/X8 (reference run_fast_extension_pass :4596-4768 +
+        fast_extension_crawler :4770-4902): candidates whose URL carries a
+        mapped file extension are routed DIRECTLY — fetch bytes, sniff the
+        actual type, record the extension↔route consistency verdict — with
+        no HTML extraction and no link discovery. One filter+route
+        DataFrame pipeline; selected rows are consumed via O(wave) flips."""
+        spark = self.spark
+        frontier_df = self._frontier()
+        cand = (
+            frontier_df.filter(~F.col("visited"))
+            .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
+            .withColumn("expected_route", routing.expected_route_for_extension_col(F.col("file_extension")))
+            .filter(F.col("expected_route") != "")
+        )
+        sel = fr.per_host_quota(cand, F.col("discovered_at").asc(), self.quota)
+        sel = (
+            fr.filter_blocked_hosts(sel)
+            .orderBy("discovered_at", "url")
+            .limit(size)
+            .select("url", "url_hash", "host", "depth", "file_extension")
+            .cache()
+        )
+        n = sel.count()
+        if n == 0:
+            sel.unpersist()
+            return {"wave": wave, "op": "fast_pass", "urls_selected": 0, "done": True}
+
+        fetched = (
+            self._pages().join(F.broadcast(sel), on="url", how="inner")
+            .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
+            .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
+        )
+        missing = (
+            sel.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("content_type", F.lit(""))
+            .withColumn("route", F.lit("missing"))
+        )
+        crawled_all = self._build_crawled(fetched, None, missing, None, wave)
+        obs = Observation()
+        crawled_all = crawled_all.observe(
+            obs,
+            F.count(F.when(F.col("route") != "missing", 1)).alias("fetched_ok"),
+            F.count(F.when(F.col("ext_consistent"), 1)).alias("consistent"),
+        )
+        self.lake.crawled.append(spark, crawled_all, meta={"wave": wave, "op": "fast_pass"})
+        stats = _obs_get(obs, {"fetched_ok": 0, "consistent": 0})
+
+        flips = sel.select("url_hash").withColumn("wave", F.lit(wave).cast("int"))
+        self.lake.frontier.commit_wave(inserts=None, flips=flips,
+                                       meta={"wave": wave, "op": "fast_pass"})
+        self._frontier_cur = self.lake.frontier.read(spark)
+        now = datetime.now(timezone.utc)
+        self.lake.wave_metrics.write_rows(
+            [
+                {"wave": wave, "scope": "fast_pass", "metric": m, "value": v,
+                 "method": "fast_extension", "node_id": config.NODE_ID,
+                 "committed_at": now}
+                for m, v in (
+                    ("urls_selected", n),
+                    ("urls_fetched", int(stats["fetched_ok"])),
+                    ("ext_consistent", int(stats["consistent"])),
+                )
+            ],
+            _METRICS_SCHEMA, meta={"wave": wave, "op": "fast_pass"},
+        )
+        sel.unpersist()
+        return {
+            "wave": wave, "op": "fast_pass", "urls_selected": n,
+            "ext_consistent": int(stats["consistent"]), "done": False,
+        }
+
     # ----------------------------------------------------- crawled assembly
     def _build_crawled(self, fetched, html_pages, missing, raw_links, wave: int) -> DataFrame:
         """A4-schema rows, JOIN-FREE: the extraction output already carries
@@ -569,7 +669,7 @@ class CrawlEngine:
         )
 
         def shape(df, text_col, words_col, od_col, od_pat_col, source_col):
-            return df.select(
+            cols = [
                 F.col("url"),
                 F.col("url").alias("enrich_url"),
                 "content_type", "route", "file_extension", "depth",
@@ -580,30 +680,46 @@ class CrawlEngine:
                 source_col.alias("source"),
                 F.lit(None).cast("array<string>").alias("emails"),
                 F.lit(None).cast("string").alias("parent_host"),
-            )
+            ]
+            if self.extract_raw:
+                cols.append(
+                    (F.col("raw_webcontent") if "raw_webcontent" in df.columns
+                     else F.lit(None).cast("string")).alias("raw_webcontent")
+                )
+            return df.select(*cols)
 
-        html_rows = shape(
-            html_pages,
-            F.col("text_extracted"), F.col("words"),
-            F.col("isopendir"), F.col("opendir_pattern"),
-            F.lit("content_type_download"),
-        )
         other_source = (
             F.when(F.col("route") == "plain_text", "content_type_plain_text")
             .when(F.col("route") == "image", "content_type_images_no_download")
             .otherwise(F.concat(F.lit("content_type_"), F.col("route")))
         )
-        other_rows = shape(
-            fetched.filter(F.col("route") != "html"),
+        # html rows are extracted separately when html_pages is given; in
+        # the fast pass (html_pages=None) an html-sniffed row is recorded
+        # visited WITHOUT extraction (reference fast pass defers those to
+        # the full crawl) — it must not vanish from crawled
+        non_html = fetched if html_pages is None else fetched.filter(F.col("route") != "html")
+        rows = shape(
+            non_html,
             plain_text, udfs.top_words(plain_text),
             F.lit(False), F.lit(""), other_source,
         )
+        if html_pages is not None:
+            rows = shape(
+                html_pages,
+                F.col("text_extracted"), F.col("words"),
+                F.col("isopendir"), F.col("opendir_pattern"),
+                F.lit("content_type_download"),
+            ).unionByName(rows)
         missing_rows = shape(
             missing,
             F.lit(None).cast("string"), F.lit(None).cast("array<string>"),
             F.lit(False), F.lit(""), F.lit("fetch_miss"),
         )
-        email_rows = (
+        email_extra = (
+            [F.lit(None).cast("string").alias("raw_webcontent")]
+            if self.extract_raw else []
+        )
+        email_rows = None if raw_links is None else (
             raw_links.filter(F.col("url").rlike(_MAILTO_RX))
             .withColumn("email", udfs.extract_email(F.col("url")))
             .filter(F.col("email").isNotNull())
@@ -621,6 +737,7 @@ class CrawlEngine:
                 F.lit("email_url").alias("source"),
                 F.array(F.col("email")).alias("emails"),
                 F.col("parent_host"),
+                *email_extra,
             )
         )
         enrich = {
@@ -628,16 +745,28 @@ class CrawlEngine:
             for k, v in sqlfns.enrichment_base_columns(F.col("enrich_url")).items()
             if k != "file_extension"  # page rows keep the fetch-time extension
         }
+        rows = rows.unionByName(missing_rows)
+        if email_rows is not None:
+            rows = rows.unionByName(email_rows)
+        # extension↔route consistency (reference handle_content_type
+        # :2794-2801 / fast_extension_crawler :4826-4829): NULL when the
+        # page was never fetched, true when the extension is unmapped
+        expected = routing.expected_route_for_extension_col(F.col("file_extension"))
+        consistent = F.when(
+            F.col("route") != "missing",
+            (expected == "") | (expected == F.col("route")),
+        )
         return (
-            html_rows.unionByName(other_rows)
-            .unionByName(missing_rows)
-            .unionByName(email_rows)
+            rows
             .withColumn("url_hash", sqlfns.url_hash(F.col("url")))
             .withColumn("visited", F.lit(True))
+            .withColumn("ext_consistent", consistent)
             .withColumns(enrich)
             .withColumns(sqlfns.level_flatten_columns())
             .withColumn("wave", F.lit(wave).cast("int"))
             .withColumn("fetched_at", F.lit(_wave_ts(wave)))
+            # S3 monthly routing: the writer partitions on this column
+            .withColumn("month", F.date_format(F.lit(_wave_ts(wave)), "yyyy-MM"))
             .drop("enrich_url")
         )
 

@@ -1,0 +1,167 @@
+"""Bulk asset downloader — the reference's third entry point
+(`python3 downloader.py`, SURVEY.md §3.3) as one DataFrame pipeline.
+
+Reference shape (downloader.py:81-340): regex-filtered scan of the content
+index (S7, chunked to fit ES's 1000-char regex cap) → fan-out with a global
+semaphore of 20 and ONE in-flight request per host (X9/X10,
+downloader.py:256-264, 335-338) → traversal-proof mirror paths (P19,
+downloader.py:168-209).
+
+Spark-first mapping:
+
+- S7 scan   → plain ``rlike`` conjunction; no chunking (P20 unnecessary —
+  Spark regex literals have no length cap).
+- X9/X10    → ``groupBy(host).applyInPandas``: each host's rows are
+  processed SEQUENTIALLY inside one task (the per-host asyncio.Lock
+  analogue) with a per-host download budget; the global semaphore becomes
+  executor parallelism. "Downloading" is a byte copy from the pages table
+  (BASELINE.json input_hint replaces the live network); Range-resume and
+  backoff have no table-sourced analogue.
+- P19       → pure kernel + pandas UDF (parity-tested against the
+  AST-extracted reference function).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from urllib.parse import quote, urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+OUTPUT_DIR = "downloads"
+
+
+# ---------------------------------------------------------------------------
+# S7 — regex-filtered scan
+# ---------------------------------------------------------------------------
+
+def _joined(patterns) -> str | None:
+    pats = [p for p in (patterns or []) if p and isinstance(p, str)]
+    return "(?:" + "|".join(pats) + ")" if pats else None
+
+
+def filtered_scan(
+    crawled: DataFrame,
+    include_ext=None, exclude_ext=None,
+    include_ctype=None, exclude_ctype=None,
+    include_host=None, exclude_host=None,
+) -> DataFrame:
+    """S7 get_filtered_urls (reference downloader.py:81-164): inclusion and
+    exclusion regex lists over file_extension / content_type / host. One
+    predicate conjunction — Catalyst pushes it into the scan; the
+    reference's chunked-alternation workaround (P20) is unnecessary."""
+    df = crawled
+    for col, inc, exc in (
+        ("file_extension", include_ext, exclude_ext),
+        ("content_type", include_ctype, exclude_ctype),
+        ("host", include_host, exclude_host),
+    ):
+        p = _joined(inc)
+        if p:
+            df = df.filter(F.col(col).rlike(p))
+        p = _joined(exc)
+        if p:
+            df = df.filter(~F.col(col).rlike(p))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# P19 — traversal-proof mirror path
+# ---------------------------------------------------------------------------
+
+def safe_filepath_from_url(url: str, output_dir: str = OUTPUT_DIR) -> str:
+    """Reference safe_filepath_from_url (downloader.py:168-209) minus the
+    filesystem side effects (no makedirs — the sink creates directories):
+    host/path mirror, index.html for directories, query encoded into the
+    name, unsafe characters replaced, ../ traversal flattened into
+    ``unsafe/``."""
+    parsed = urlsplit(url)
+    host = parsed.hostname or "unknown"
+    path = parsed.path or "/"
+    query = parsed.query
+
+    if path.endswith("/"):
+        path += "index.html"
+    if query:
+        safe_query = quote(query, safe="")
+        base, ext = posixpath.splitext(path)
+        path = f"{base}_{safe_query}{ext or '.html'}"
+    path = path.lstrip("/")
+    safe_path = re.sub(r"[<>:\"|?*]", "_", path)
+
+    full_path = posixpath.join(output_dir, host, safe_path)
+    normalized = posixpath.normpath(full_path)
+    if not (normalized == output_dir or normalized.startswith(output_dir + "/")):
+        safe_name = re.sub(r"[^a-zA-Z0-9_.-]", "_", f"{host}_{path}")
+        normalized = posixpath.join(output_dir, "unsafe", safe_name)
+    return normalized
+
+
+@pandas_udf(T.StringType())
+def safe_filepath_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(safe_filepath_from_url, na_action="ignore")
+
+
+# ---------------------------------------------------------------------------
+# X9/X10 — politeness-bounded fetch fan-out
+# ---------------------------------------------------------------------------
+
+_FETCH_SCHEMA = (
+    "url string, host string, bytes_len long, status string, filepath string"
+)
+
+
+def host_budgeted_fetch(
+    urls: DataFrame,
+    pages: DataFrame,
+    budget_per_host: int = 20,
+) -> DataFrame:
+    """X9/X10: fetch bytes for the selected URLs with per-host politeness.
+
+    - the (small) URL set broadcasts against the (10^10-row) pages table:
+      an inner join scans pages once, shuffle-free; dead URLs are recovered
+      by a tiny anti-join and tagged ``missing``;
+    - ``groupBy(host).applyInPandas`` serializes each host inside one task
+      (reference per-host lock, downloader.py:256-264) and enforces a
+      per-host budget in deterministic url order — rows over budget are
+      tagged ``skipped_budget``, never silently dropped (no silent caps);
+    - host_salt skew note: politeness accounting must aggregate on the RAW
+      host, so the grouping key is host itself; a mega-host's budget rows
+      are bounded (= budget), so the group is small by construction.
+
+    Input ``urls`` needs (url, host); output one row per input url.
+    """
+    want = urls.select("url", "host")
+    hit = pages.select("url", "html").join(F.broadcast(want), on="url", how="inner")
+    missing = (
+        want.join(F.broadcast(hit.select("url")), on="url", how="left_anti")
+        .select(
+            "url", "host",
+            F.lit(None).cast("long").alias("bytes_len"),
+            F.lit("missing").alias("status"),
+            F.lit(None).cast("string").alias("filepath"),
+        )
+    )
+
+    def _budget(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url").reset_index(drop=True)
+        out = pd.DataFrame({
+            "url": pdf["url"],
+            "host": pdf["host"],
+            "bytes_len": pdf["html"].map(lambda b: len(b) if b is not None else 0),
+            "status": [
+                "downloaded" if i < budget_per_host else "skipped_budget"
+                for i in range(len(pdf))
+            ],
+            "filepath": pdf["url"].map(safe_filepath_from_url),
+        })
+        out.loc[out["status"] != "downloaded", ["bytes_len", "filepath"]] = None
+        return out
+
+    fetched = hit.groupBy("host").applyInPandas(_budget, _FETCH_SCHEMA)
+    return fetched.unionByName(missing)

@@ -26,10 +26,11 @@ from playwrightcrawler_spark import config
 
 
 def per_host_quota(df: DataFrame, order_col, quota: int = 1) -> DataFrame:
-    """Keep ``quota`` rows per host ordered by ``order_col`` — the
-    generalized one-URL-per-host collapse (J3; reference
-    playwrightcrawler.py:1419-1421 keeps the first per host)."""
-    w = Window.partitionBy("host").orderBy(order_col, F.col("url"))
+    """Keep ``quota`` rows per host ordered by ``order_col`` (a column or a
+    list of columns) — the generalized one-URL-per-host collapse (J3;
+    reference playwrightcrawler.py:1419-1421 keeps the first per host)."""
+    cols = list(order_col) if isinstance(order_col, (list, tuple)) else [order_col]
+    w = Window.partitionBy("host").orderBy(*cols, F.col("url"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= quota)
@@ -78,19 +79,30 @@ def select_random(df: DataFrame, size: int, seed: int, quota: int = 1) -> DataFr
 def select_host_prefix(df: DataFrame, size: int, seed: int, quota: int = 1) -> DataFrame:
     """F3 get_urls_by_random_timestamp_and_prefix (reference :1119-1220):
     seeded host first-char from [a-z0-9], time pivot, per-host collapse.
-    One full pass replaces the reference's 20 pivot retries; if the prefix
-    slice is empty we fall back to the unfiltered set (the retry loop's
-    intent: never return empty when the table isn't)."""
+
+    ONE driver action total: a conditional aggregate yields min/max bounds
+    for both the prefix slice and the full table, replacing the reference's
+    20 pivot retries AND the empty-slice probes — a pivot drawn inside
+    [lo, hi] always admits at least the max row, so no retry can be needed
+    (empty prefix slice → fall back to the unfiltered set, the retry
+    loop's intent: never return empty when the table isn't)."""
     rng = random.Random(seed)
     chosen = rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
-    sliced = df.filter(F.substring(F.col("host"), 1, 1) == chosen)
-    if sliced.limit(1).count() == 0:
-        sliced = df
-    pivot = _pivot_timestamp(sliced, rng.random())
+    frac = rng.random()
+    pref = F.substring(F.col("host"), 1, 1) == chosen
+    ts = F.col("discovered_at")
+    row = df.agg(
+        F.min(F.when(pref, ts)).alias("plo"), F.max(F.when(pref, ts)).alias("phi"),
+        F.min(ts).alias("lo"), F.max(ts).alias("hi"),
+    ).first()
+    sliced, pivot = df, None
+    if row.plo is not None:
+        sliced = df.filter(pref)
+        pivot = row.plo + (row.phi - row.plo) * frac
+    elif row.lo is not None:
+        pivot = row.lo + (row.hi - row.lo) * frac
     if pivot is not None:
-        newer = sliced.filter(F.col("discovered_at") >= F.lit(pivot))
-        if newer.limit(1).count() > 0:
-            sliced = newer
+        sliced = sliced.filter(ts >= F.lit(pivot))
     r = F.xxhash64(F.col("url"), F.lit(seed))
     return (
         per_host_quota(sliced, r.asc(), quota)
@@ -113,6 +125,18 @@ def select_fewest_urls(df: DataFrame, size: int, quota: int = 1) -> DataFrame:
     )
 
 
+def select_priority(df: DataFrame, size: int, quota: int = 1) -> DataFrame:
+    """north_rule depth/score priority queue (no reference counterpart):
+    highest-score rows first — score = 1/(1+depth) favors shallow URLs, so
+    the crawl front stays breadth-biased; ties broken by age then url."""
+    order = [F.col("score").desc(), F.col("discovered_at").asc()]
+    return (
+        per_host_quota(df, order, quota)
+        .orderBy(F.col("score").desc(), "discovered_at", "url")
+        .limit(size)
+    )
+
+
 def filter_blocked_hosts(df: DataFrame) -> DataFrame:
     """F5 (reference :4414-4425)."""
     pattern = "(?:" + "|".join(config.HOST_REGEX_BLOCK_LIST) + ")"
@@ -124,6 +148,7 @@ METHODS = {
     "random": select_random,
     "host_prefix": select_host_prefix,
     "fewest_urls": lambda df, size, seed, quota: select_fewest_urls(df, size, quota),
+    "priority": lambda df, size, seed, quota: select_priority(df, size, quota),
 }
 
 

@@ -64,6 +64,89 @@ _COSINE = (
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
 )
 
+# --------------------------------------------------------------------------
+# Crawl-domain oracles run over the deterministic pages fixture parquet
+# (written by queries._fixture_pages / ensured by __spark_entry__.oracle_sql)
+# via DuckDB read_parquet — an independent SQL recomputation of the
+# extension/magic-byte/route pipeline.
+# --------------------------------------------------------------------------
+
+import os as _os
+import tempfile as _tempfile
+
+_FIXTURE_PARQUET = _os.path.join(_tempfile.gettempdir(), "pwc_fixture_pages_v2.parquet")
+
+# path → lower-cased extension, replicating sqlfns.file_extension on the
+# fixture's URL shapes (no %-escapes in fixture paths)
+_SQL_PATH = r"regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+_SQL_EXT = rf"lower(regexp_extract({_SQL_PATH}, '[^/.]\.([^./]+)$', 1))"
+_SQL_HOST = r"lower(regexp_extract(url, '://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+
+
+def _case(expr: str, mapping: dict, default: str = "''") -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items()
+    )
+    return f"(CASE {expr} {whens} ELSE {default} END)"
+
+
+def _sniff_sql() -> str:
+    """Magic-bytes → mime with extension fallback, mirroring sniff.py
+    independently in SQL (hex prefixes on the BLOB)."""
+    from playwrightcrawler_spark.functions import sniff as _sniff
+
+    magic_whens = " ".join(
+        f"WHEN hx LIKE '{prefix}%' THEN '{mime}'"
+        for prefix, mime in _sniff._MAGIC
+    )
+    ext_mime = _case("ext", _sniff._EXT_MIME, default="NULL")
+    return f"""(CASE
+        WHEN hx IS NULL OR hx = '' THEN ''
+        {magic_whens}
+        WHEN substring(hx, 9, 8) = '66747970' THEN 'video/mp4'
+        ELSE coalesce({ext_mime},
+            CASE
+              WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<!DOCTYPE')
+                OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<html')
+                OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<HTML') THEN 'text/html'
+              WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '{{')
+                OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '[') THEN 'application/json'
+              WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<') THEN 'text/html'
+              ELSE 'text/plain'
+            END)
+    END)"""
+
+
+def _fast_ext_oracle() -> str:
+    from playwrightcrawler_spark.functions import routing as _routing
+    from playwrightcrawler_spark.functions import sniff as _sniff
+
+    expected = _case("ext", _routing.EXTENSION_ROUTE)
+    mimes = (
+        {m for _, m in _sniff._MAGIC}
+        | set(_sniff._EXT_MIME.values())
+        | {"video/mp4", "text/html", "application/json", "text/plain"}
+    )
+    mime_route = _case("content_type", {m: _routing.route_for(m) for m in sorted(mimes)},
+                       default="'unknown'")
+    return f"""
+        WITH p AS (
+            SELECT url, hex(html) AS hx, {_SQL_EXT} AS ext
+            FROM read_parquet('{_FIXTURE_PARQUET}')
+        ),
+        r AS (
+            SELECT url, ext AS file_extension, {expected} AS expected_route,
+                   {_sniff_sql()} AS content_type
+            FROM p
+        )
+        SELECT url, file_extension, expected_route, content_type,
+               {mime_route} AS actual_route,
+               expected_route = {mime_route} AS consistent
+        FROM r WHERE expected_route <> ''
+        ORDER BY url
+    """
+
+
 ORACLES: dict[str, str] = {
     # ----------------------------------------------------------- relational
     "pricing_summary": """
@@ -321,4 +404,16 @@ ORACLES: dict[str, str] = {
                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
+    # ------------------------------------------------------- crawl domain
+    "downloader_scan": f"""
+        WITH c AS (
+            SELECT url, {_SQL_HOST} AS host, {_SQL_EXT} AS file_extension
+            FROM read_parquet('{_FIXTURE_PARQUET}')
+        )
+        SELECT url, host, file_extension FROM c
+        WHERE regexp_matches(file_extension, '^(png|jpe?g|gif|pdf|zip|mp3|mp4)$')
+          AND NOT regexp_matches(host, '^media\\.')
+        ORDER BY url
+    """,
+    "fast_extension_pass": _fast_ext_oracle(),
 }

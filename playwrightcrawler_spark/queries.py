@@ -380,6 +380,69 @@ def _fixture_pages(spark) -> str:
     return path
 
 
+def q_downloader_scan(spark, sf_dir):
+    """[S7] the downloader's regex-filtered content scan (reference
+    downloader.py:81-164) as one pushed-down rlike conjunction — include
+    extensions, exclude hosts. Oracle: DuckDB regexes over the same
+    fixture parquet."""
+    from playwrightcrawler_spark.functions import sqlfns
+    from playwrightcrawler_spark.operators import downloader
+
+    pages = spark.read.parquet(_fixture_pages(spark))
+    crawledish = pages.select(
+        "url",
+        sqlfns.host_of(F.col("url")).alias("host"),
+        sqlfns.file_extension(sqlfns.path_of(F.col("url"))).alias("file_extension"),
+        F.lit("").alias("content_type"),
+    )
+    out = downloader.filtered_scan(
+        crawledish,
+        include_ext=[r"^(png|jpe?g|gif|pdf|zip|mp3|mp4)$"],
+        exclude_host=[r"^media\."],
+    )
+    return out.select("url", "host", "file_extension").orderBy("url")
+
+
+def q_downloader_fetch(spark, sf_dir):
+    """[X9/X10] politeness-bounded download fan-out (rows-only:
+    applyInPandas politeness kernel): per-host budget of 2, one in-flight
+    host per group, dead URL tagged missing, traversal-proof mirror path
+    (P19)."""
+    from playwrightcrawler_spark.operators import downloader
+
+    pages = spark.read.parquet(_fixture_pages(spark))
+    urls = q_downloader_scan(spark, sf_dir).select("url", "host").unionByName(
+        spark.createDataFrame(
+            [("https://cdn.example.com/assets/missing.png", "cdn.example.com")],
+            "url string, host string",
+        )
+    )
+    return downloader.host_budgeted_fetch(urls, pages, budget_per_host=2).orderBy("url")
+
+
+def q_fast_extension_pass(spark, sf_dir):
+    """[X7/X8] the fast-extension pass dataflow (reference :4596-4902):
+    extension-bearing URLs routed directly — expected route from the
+    extension map, actual route from the sniffed bytes, consistency
+    verdict. The DuckDB oracle recomputes everything (magic bytes, mime
+    maps, route tables) independently in SQL."""
+    from playwrightcrawler_spark.functions import routing, sniff, sqlfns
+
+    pages = spark.read.parquet(_fixture_pages(spark))
+    return (
+        pages
+        .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
+        .withColumn("expected_route", routing.expected_route_for_extension_col(F.col("file_extension")))
+        .filter(F.col("expected_route") != "")
+        .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
+        .withColumn("actual_route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
+        .withColumn("consistent", F.col("expected_route") == F.col("actual_route"))
+        .select("url", "file_extension", "expected_route", "content_type",
+                "actual_route", "consistent")
+        .orderBy("url")
+    )
+
+
 def q_crawl_wave(spark, sf_dir):
     """[engine] one full crawl wave end-to-end on the synthetic pages
     fixture (rows-only; pytest pins the per-url text invariant)."""
@@ -447,6 +510,9 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "fingerprints": q_fingerprints,
+    "downloader_scan": q_downloader_scan,
+    "downloader_fetch": q_downloader_fetch,
+    "fast_extension_pass": q_fast_extension_pass,
     "crawl_wave": q_crawl_wave,
     "pages_extract": q_pages_extract,
     "media_metadata": q_media_metadata,

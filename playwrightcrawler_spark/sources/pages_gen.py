@@ -184,6 +184,9 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
         ("https://cdn.example.com/fonts/main.woff2", "woff2"),
         ("https://tracker.example.com/seed.torrent", "torrent"),
         ("https://data.example.com/db.sqlite", "sqlite"),
+        # lying extension: .png name over PDF bytes → ext_consistent=false
+        # (the fast-extension pass and R15's consistency check catch it)
+        ("https://cdn.example.com/assets/fake.png", "pdf"),
     ]
     for u, kind in binaries:
         add(u, _BINARY_PAYLOADS[kind], is_html=False)
@@ -208,6 +211,25 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
     noext_body = ("x" * 255 + "é une page de texte en français ").encode("utf-8")
     assert noext_body[255] == 0xC3 and noext_body[256] == 0xA9  # é straddles the cut
     add("https://text.example.com/noext", noext_body + b"mots " * 20, is_html=False)
+
+    # robots.txt rows (north_rule compliance; never linked — the engine
+    # finds them by scanning the pages table for /robots.txt paths)
+    add(
+        "https://mega.example.com/robots.txt",
+        b"User-agent: *\nDisallow: /sec3/\nCrawl-delay: 1\n",
+        is_html=False,
+    )
+    add(
+        "https://seed1.example.org/robots.txt",
+        b"User-agent: googlebot\nDisallow: /\n\n"
+        b"User-agent: *\nDisallow: /hop1/\nDisallow: /hop2/\n",
+        is_html=False,
+    )
+    add(
+        "https://seed2.example.org/robots.txt",
+        b"User-agent: *\nDisallow:\n",  # allow-all: must yield NO rules row
+        is_html=False,
+    )
 
     # extra long-tail hosts, a few pages each, random-ish interlinks
     for h in range(n_extra_hosts):

@@ -38,10 +38,16 @@ class SnapshotTable:
     increment and read() unions them (crawled/metrics — the Iceberg
     fast-append analogue); append cost is O(wave), not O(table)."""
 
-    def __init__(self, root: str, name: str, kind: str = "full"):
+    def __init__(self, root: str, name: str, kind: str = "full",
+                 partition_by: list[str] | None = None):
         self.dir = Path(root) / name
         self.name = name
         self.kind = kind
+        # hive-style partition columns per snapshot — the bare-parquet
+        # analogue of Iceberg's hidden months(ts) partitioning (S3:
+        # reference monthly indices, playwrightcrawler.py:1458-1481);
+        # Catalyst prunes partition directories on matching filters
+        self.partition_by = partition_by or []
         self.dir.mkdir(parents=True, exist_ok=True)
 
     # -- manifest -----------------------------------------------------------
@@ -85,13 +91,24 @@ class SnapshotTable:
         if self.kind == "delta":
             dirs = [self._snap_dir(e["version"]) for e in self.versions()
                     if e["version"] <= v]
-            return spark.read.parquet(*dirs)
+            if not self.partition_by:
+                return spark.read.parquet(*dirs)
+            # partitioned snapshots: discovery must run per snapshot root
+            # (multi-root reads raise CONFLICTING_DIRECTORY_STRUCTURES);
+            # Iceberg replaces this with manifest-based planning
+            out = spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                out = out.unionByName(spark.read.parquet(d))
+            return out
         return spark.read.parquet(self._snap_dir(v))
 
     def write(self, df: DataFrame, meta: dict | None = None) -> int:
         """Full-table snapshot write (Iceberg: overwritePartitions)."""
         v = (self.latest_version or 0) + 1
-        df.write.mode("overwrite").parquet(self._snap_dir(v))
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._snap_dir(v))
         self._commit(v, meta)
         return v
 
@@ -255,13 +272,19 @@ class Lakehouse:
     TABLES = ("frontier", "crawled", "wave_metrics", "robots_rules", "seen_bloom")
     _KINDS = {"crawled": "delta", "wave_metrics": "delta"}
 
+    # crawled rows route into month partitions (S3 monthly-index parity)
+    _PARTITIONS = {"crawled": ["month"]}
+
     def __init__(self, root: str):
         self.root = root
         for t in self.TABLES:
             if t == "frontier":
                 setattr(self, t, MorTable(root, t))
             else:
-                setattr(self, t, SnapshotTable(root, t, kind=self._KINDS.get(t, "full")))
+                setattr(self, t, SnapshotTable(
+                    root, t, kind=self._KINDS.get(t, "full"),
+                    partition_by=self._PARTITIONS.get(t),
+                ))
 
     def describe(self) -> dict:
         return {

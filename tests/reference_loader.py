@@ -21,6 +21,7 @@ from pathlib import Path, PurePosixPath
 from urllib.parse import parse_qs, unquote, urljoin, urlparse, urlsplit, urlunsplit
 
 REFERENCE = Path("/root/reference/playwrightcrawler.py")
+REFERENCE_DOWNLOADER = Path("/root/reference/downloader.py")
 
 PURE_FUNCTIONS = {
     "sanitize_url",
@@ -33,6 +34,11 @@ PURE_FUNCTIONS = {
     "get_directory_levels",
     "url_to_id",
     "is_embedded_url",
+}
+
+DOWNLOADER_FUNCTIONS = {
+    "safe_filepath_from_url",
+    "regexes_to_es_regexp",
 }
 
 # config globals the extracted functions close over
@@ -61,15 +67,34 @@ _REF_GLOBALS = dict(
 )
 
 
+def _extract(source: Path, names: set[str], extra_globals: dict) -> dict:
+    tree = ast.parse(source.read_text())
+    ns = {**_REF_GLOBALS, **extra_globals}
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in names:
+            mod = ast.Module(body=[node], type_ignores=[])
+            exec(compile(mod, str(source), "exec"), ns)  # noqa: S102
+    return {n: ns[n] for n in names if n in ns}
+
+
 def load_reference_functions() -> dict | None:
-    """Return {name: callable} for PURE_FUNCTIONS, or None if unavailable."""
+    """Return {name: callable} for PURE_FUNCTIONS (+ downloader functions),
+    or None if unavailable."""
     if not REFERENCE.exists():
         return None
-    tree = ast.parse(REFERENCE.read_text())
-    ns = dict(_REF_GLOBALS)
-    for node in tree.body:
-        if isinstance(node, ast.FunctionDef) and node.name in PURE_FUNCTIONS:
-            mod = ast.Module(body=[node], type_ignores=[])
-            exec(compile(mod, str(REFERENCE), "exec"), ns)  # noqa: S102
-    found = {n: ns[n] for n in PURE_FUNCTIONS if n in ns}
+    import os
+
+    from urllib.parse import quote
+
+    found = _extract(REFERENCE, PURE_FUNCTIONS, {})
+    if REFERENCE_DOWNLOADER.exists():
+        # OUTPUT_DIR outside the repo: the reference function makedirs()
+        # eagerly; parity tests compare returned paths only
+        found.update(
+            _extract(
+                REFERENCE_DOWNLOADER,
+                DOWNLOADER_FUNCTIONS,
+                {"os": os, "quote": quote, "OUTPUT_DIR": "/tmp/pwc_ref_downloads"},
+            )
+        )
     return found or None

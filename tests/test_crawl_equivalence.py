@@ -52,9 +52,33 @@ def _clean(url: str) -> tuple[str, str] | None:
     return u, host
 
 
-def simulate(pages: dict[str, bytes], seed_urls: list[str], hunt: bool):
-    """Reference-logic crawl: oldest-first policy, per-host quota, waves."""
+def simulate(
+    pages: dict[str, bytes],
+    seed_urls: list[str],
+    hunt: bool,
+    policy: str = "oldest",
+    robots: dict[str, tuple[list[str], int | None]] | None = None,
+):
+    """Reference-logic crawl: seeded policy, per-host quota, waves; with
+    optional robots rules (denied rows consume their slot, flip visited,
+    and are never fetched — engine semantics)."""
+    from urllib.parse import urlsplit as _usplit
+
     frontier: dict[str, dict] = {}
+
+    def sel_key(item):
+        u, r = item
+        if policy == "priority":
+            # score = 1/(1+depth) desc ⇔ depth asc; ties: age then url
+            return (r["depth"], r["discovered_at"], u)
+        return (r["discovered_at"], u)
+
+    def denied(u: str, host: str) -> bool:
+        if not robots or host not in robots:
+            return False
+        prefixes, _delay = robots[host]
+        path = _usplit(u).path
+        return any(path.startswith(p) for p in prefixes)
 
     def discover(urls: list[str], depth: int, wave: int):
         for raw in urls:
@@ -71,16 +95,14 @@ def simulate(pages: dict[str, bytes], seed_urls: list[str], hunt: bool):
     discover(seed_urls, 0, 0)
     fetched_by_wave: dict[int, set] = {}
     for wave in range(1, WAVES + 1):
-        # F1 select_oldest + per-host quota: oldest per host (tie → url),
-        # then globally oldest-first, tie → url, limit WAVE_SIZE
+        # policy selection + per-host quota: first per host by the policy
+        # key, then globally policy-ordered, limit WAVE_SIZE
         unvisited = [(u, r) for u, r in frontier.items() if not r["visited"]]
         per_host: dict[str, tuple] = {}
-        for u, r in sorted(unvisited, key=lambda x: (x[1]["discovered_at"], x[0])):
+        for u, r in sorted(unvisited, key=sel_key):
             if r["host"] not in per_host:
                 per_host[r["host"]] = (u, r)
-        wave_sel = sorted(
-            per_host.values(), key=lambda x: (x[1]["discovered_at"], x[0])
-        )[:WAVE_SIZE]
+        wave_sel = sorted(per_host.values(), key=sel_key)[:WAVE_SIZE]
         if not wave_sel:
             break
         fetched_by_wave[wave] = set()
@@ -88,6 +110,8 @@ def simulate(pages: dict[str, bytes], seed_urls: list[str], hunt: bool):
         for u, r in wave_sel:
             r["visited"] = True
             r["wave"] = wave
+            if denied(u, r["host"]):
+                continue  # consumed but never fetched
             fetched_by_wave[wave].add(u)
             html = pages.get(u)
             links = textextract.extract_links(html) if html else []
@@ -182,3 +206,84 @@ def test_depths_match(equivalence, spark):
         if eng_rows[u] != sim_frontier[u]["depth"]
     }
     assert not mismatches, dict(list(mismatches.items())[:6])
+
+
+# --- variant: robots compliance + score-priority policy pinned --------------
+
+@pytest.fixture(scope="module")
+def equivalence_robots(spark, pages_dir, tmp_path_factory):
+    from playwrightcrawler_spark.functions import robotstxt
+
+    table = pq.read_table(pages_dir, columns=["url", "html"])
+    pages = dict(zip(table.column("url").to_pylist(), table.column("html").to_pylist()))
+    seeds = pages_gen.seed_urls()
+
+    eng = CrawlEngine(
+        spark, pages_dir, str(tmp_path_factory.mktemp("wh_eq_robots")),
+        wave_size=WAVE_SIZE, per_host_quota=QUOTA,
+        method_weights={"priority": 1},       # north_rule priority queue
+        hunt_open_directories=False,
+        robots_rules="pages",                 # parsed from the corpus
+    )
+    eng.run(WAVES, seed_urls=seeds)
+
+    robots = {}
+    for url, body in pages.items():
+        if url.endswith("/robots.txt"):
+            host = url.split("://", 1)[1].split("/", 1)[0]
+            prefixes, delay = robotstxt.parse_robots(
+                bytes(body).decode("utf-8", errors="replace")
+            )
+            if prefixes or delay is not None:
+                robots[host] = (prefixes, delay)
+    sim_frontier, sim_waves = simulate(
+        pages, seeds, hunt=False, policy="priority", robots=robots
+    )
+    return eng, sim_frontier, sim_waves, robots
+
+
+def test_robots_priority_seen_set_matches(equivalence_robots, spark):
+    eng, sim_frontier, _, _ = equivalence_robots
+    engine_urls = {r.url for r in eng.lake.frontier.read(spark).select("url").collect()}
+    assert engine_urls == set(sim_frontier), (
+        sorted(engine_urls ^ set(sim_frontier))[:6],
+    )
+
+
+def test_robots_priority_ordering_matches(equivalence_robots, spark):
+    eng, _, sim_waves, _ = equivalence_robots
+    crawled = (
+        eng.lake.crawled.read(spark)
+        .filter(F.col("route") != "email")
+        .select("url", "wave")
+        .collect()
+    )
+    engine_waves: dict[int, set] = {}
+    for r in crawled:
+        engine_waves.setdefault(r.wave, set()).add(r.url)
+    assert set(engine_waves) == set(sim_waves)
+    for w in sim_waves:
+        assert engine_waves[w] == sim_waves[w], (
+            w, sorted(engine_waves[w] ^ sim_waves[w])[:6],
+        )
+
+
+def test_robots_denied_never_crawled_but_consumed(equivalence_robots, spark):
+    """Disallowed URLs must appear in the frontier as visited (consumed)
+    yet never in crawled — and some must actually exist in this run."""
+    eng, _, _, robots = equivalence_robots
+    fr = eng.lake.frontier.read(spark).collect()
+    crawled_urls = {
+        r.url for r in eng.lake.crawled.read(spark).select("url").collect()
+    }
+    from urllib.parse import urlsplit
+
+    denied = [
+        r for r in fr
+        if r.host in robots
+        and any(urlsplit(r.url).path.startswith(p) for p in robots[r.host][0])
+    ]
+    assert denied, "fixture produced no robots-denied frontier rows"
+    for r in denied:
+        assert r.url not in crawled_urls, r.url
+    assert any(r.visited for r in denied)  # consumed over the crawled waves

@@ -1,0 +1,129 @@
+"""Downloader pipeline (S7/X9/X10/P19) and fast-extension pass (X7/X8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from playwrightcrawler_spark.operators import downloader
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "https://h.example/a/b/file.bin",
+        "https://h.example/dir/",
+        "https://h.example/",
+        "https://h.example/q?x=1&y=2",
+        "https://h.example/q.html?x=%2F..%2F",
+        "https://h.example/../../etc/passwd",
+        "https://h.example/we<ird>:na|me?.bin",
+        "http://user:pw@h.example:8080/p/f.txt",
+        "https://h.example/%2e%2e/up.txt",
+    ],
+)
+def test_safe_filepath_parity(ref, url):
+    """P19: byte-identical mirror paths vs the reference downloader's
+    safe_filepath_from_url (AST-extracted; OUTPUT_DIR pinned equal)."""
+    if "safe_filepath_from_url" not in ref:
+        pytest.skip("reference downloader not available")
+    theirs = ref["safe_filepath_from_url"](url)
+    mine = downloader.safe_filepath_from_url(url, output_dir="/tmp/pwc_ref_downloads")
+    assert mine == theirs
+
+
+def test_regexes_join_semantics(ref):
+    """P20 analogue: the reference strips ^$ anchors for ES; we keep them
+    (Spark rlike has no cap) — assert our join covers the same terms."""
+    if "regexes_to_es_regexp" not in ref:
+        pytest.skip("reference downloader not available")
+    terms = ["^png$", "jpe?g", "", None, "gif$"]
+    theirs = ref["regexes_to_es_regexp"](terms)
+    assert set(theirs.split("|")) == {"png", "jpe?g", "gif"}
+    ours = downloader._joined(terms)
+    assert ours == "(?:^png$|jpe?g|gif$)"
+
+
+def test_filtered_scan_include_exclude(spark, pages_dir):
+    from playwrightcrawler_spark.functions import sqlfns
+
+    pages = spark.read.parquet(pages_dir).select(
+        "url",
+        sqlfns.host_of(F.col("url")).alias("host"),
+        sqlfns.file_extension(sqlfns.path_of(F.col("url"))).alias("file_extension"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+    out = downloader.filtered_scan(
+        pages,
+        include_ext=[r"^png$", r"^pdf$"],
+        include_ctype=[r"octet"],
+        exclude_host=[r"^docs\."],
+    )
+    urls = {r.url for r in out.select("url").collect()}
+    assert "https://cdn.example.com/assets/logo.png" in urls
+    assert "https://docs.example.com/manual.pdf" not in urls     # host excluded
+    assert "https://dl.example.com/bundle.zip" not in urls       # ext not included
+
+
+def test_host_budgeted_fetch_politeness(spark, pages_dir):
+    """X9/X10: per-host budget respected, over-budget rows tagged (never
+    silently dropped), dead URLs tagged missing, P19 path attached."""
+    pages = spark.read.parquet(pages_dir)
+    urls = (
+        pages.filter(F.col("url").rlike(r"^https://mega\.example\.com/"))
+        .select("url", F.lit("mega.example.com").alias("host"))
+        .unionByName(
+            spark.createDataFrame(
+                [("https://mega.example.com/sec9/missing.html", "mega.example.com"),
+                 ("https://cdn.example.com/assets/logo.png", "cdn.example.com")],
+                "url string, host string",
+            )
+        )
+    )
+    n_urls = urls.count()
+    out = downloader.host_budgeted_fetch(urls, pages, budget_per_host=5).cache()
+    assert out.count() == n_urls                      # one row per input url
+    by_status = {r["status"]: r["n"] for r in out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert by_status.get("missing") == 1
+    per_host_dl = (
+        out.filter(F.col("status") == "downloaded").groupBy("host").count()
+    )
+    assert per_host_dl.filter(F.col("count") > 5).count() == 0
+    assert by_status.get("skipped_budget", 0) > 0     # mega-host over budget
+    row = out.filter(F.col("url") == "https://cdn.example.com/assets/logo.png").first()
+    assert row.status == "downloaded" and row.bytes_len > 0
+    assert row.filepath == "downloads/cdn.example.com/assets/logo.png"
+    out.unpersist()
+
+
+def test_fast_extension_pass_engine(spark, pages_dir, tmp_path_factory):
+    """X7/X8 end-to-end: extension-bearing candidates fetched + routed with
+    a consistency verdict, consumed via flips, no HTML extraction."""
+    from playwrightcrawler_spark.crawl.engine import CrawlEngine
+
+    wh = tmp_path_factory.mktemp("wh_fast")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=100,
+                      per_host_quota=5, method_weights={"oldest": 1})
+    seeds = [
+        "https://cdn.example.com/assets/logo.png",
+        "https://cdn.example.com/assets/fake.png",      # lying extension
+        "https://docs.example.com/manual.pdf",
+        "https://media.example.com/clip.mp4",
+        "https://dead.example.net/gone.pdf",            # not in pages
+        "https://seed0.example.org/",                   # html: NOT ext-routed
+    ]
+    eng.bootstrap(seeds)
+    m = eng.run_fast_extension_pass(wave=1)
+    assert m["urls_selected"] == 5                      # everything but the html seed
+    crawled = {r.url: r for r in eng.lake.crawled.read(spark).collect()}
+    assert crawled["https://cdn.example.com/assets/logo.png"].ext_consistent is True
+    assert crawled["https://cdn.example.com/assets/fake.png"].ext_consistent is False
+    assert crawled["https://cdn.example.com/assets/fake.png"].route == "pdf"
+    assert crawled["https://dead.example.net/gone.pdf"].route == "missing"
+    assert "https://seed0.example.org/" not in crawled  # never fast-routed
+    fr = {r.url: r for r in eng.lake.frontier.read(spark).collect()}
+    assert fr["https://cdn.example.com/assets/logo.png"].visited
+    assert not fr["https://seed0.example.org/"].visited
+    # everything (incl. the dead URL) was consumed: second pass is empty
+    m2 = eng.run_fast_extension_pass(wave=2)
+    assert m2["urls_selected"] == 0 and m2["done"]

@@ -253,6 +253,45 @@ def test_bloom_crawl_identical_to_exact(spark, pages_dir, tmp_path_factory):
     assert eng2._bloom_rows, "sidecar not reloaded on resume"
 
 
+def test_monthly_partition_routing(crawl_result, spark):
+    """S3: crawled rows land in month=YYYY-MM partition directories and a
+    month filter prunes at the source (reference monthly indices)."""
+    import glob
+
+    eng, _ = crawl_result
+    snap = eng.lake.crawled._snap_dir(1)
+    parts = glob.glob(f"{snap}/month=*")
+    assert parts and all("month=2025-06" in p for p in parts), parts
+    df = eng.lake.crawled.read(spark).filter(F.col("month") == "2025-06")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan, plan[:800]
+    assert df.count() > 0
+    assert eng.lake.crawled.read(spark).filter(F.col("month") == "1999-01").count() == 0
+
+
+def test_raw_webcontent_flag(spark, pages_dir, tmp_path_factory):
+    """EXTRACT_RAW_WEBCONTENT=True stores the truncated raw HTML for html
+    rows (reference playwrightcrawler.py:3437); off by default — and the
+    default schema must not carry the column at all."""
+    wh = tmp_path_factory.mktemp("wh_raw")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=50,
+                      method_weights={"oldest": 1},
+                      extract_raw_webcontent=True)
+    eng.run(2, seed_urls=pages_gen.seed_urls())
+    crawled = eng.lake.crawled.read(spark)
+    html_row = crawled.filter(F.col("route") == "html").first()
+    assert html_row.raw_webcontent.startswith("<!DOCTYPE html>")
+    other = crawled.filter(F.col("route") == "image").first()
+    if other:
+        assert other.raw_webcontent is None
+    # default engine: no such column
+    wh2 = tmp_path_factory.mktemp("wh_noraw")
+    eng2 = CrawlEngine(spark, pages_dir, str(wh2), wave_size=20,
+                       method_weights={"oldest": 1})
+    eng2.run(1, seed_urls=pages_gen.seed_urls())
+    assert "raw_webcontent" not in eng2.lake.crawled.read(spark).columns
+
+
 def test_time_travel(crawl_result, spark):
     """S8 backup/restore analogue: earlier snapshots stay readable and
     smaller-or-equal than the head."""

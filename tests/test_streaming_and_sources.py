@@ -72,6 +72,43 @@ def test_snapshot_merge_upsert(spark, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c"}  # _id overwrite semantics (J5)
 
 
+@pytest.mark.parametrize(
+    "body,expect",
+    [
+        ("User-agent: *\nDisallow: /private/\nCrawl-delay: 2",
+         (["/private/"], 2000)),
+        # only the matching agent group applies
+        ("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /a/\nDisallow: /b/",
+         (["/a/", "/b/"], None)),
+        # stacked agent lines share the group
+        ("User-agent: googlebot\nUser-agent: *\nDisallow: /x/",
+         (["/x/"], None)),
+        # empty Disallow = allow all; comments stripped
+        ("User-agent: *\nDisallow:\n# note\nCrawl-delay: 0.5  # half",
+         ([], 500)),
+        # non-star group only → nothing applies to us
+        ("User-agent: googlebot\nDisallow: /secret/", ([], None)),
+        ("", ([], None)),
+    ],
+)
+def test_parse_robots(body, expect):
+    from playwrightcrawler_spark.functions import robotstxt
+
+    assert robotstxt.parse_robots(body) == expect
+
+
+def test_build_robots_rules_from_pages(spark, pages_dir):
+    from playwrightcrawler_spark.functions import robotstxt
+
+    rules = {r.host: r for r in robotstxt.build_robots_rules(
+        spark.read.parquet(pages_dir)
+    ).collect()}
+    assert rules["mega.example.com"].disallow_prefixes == ["/sec3/"]
+    assert rules["mega.example.com"].crawl_delay_ms == 1000
+    assert rules["seed1.example.org"].disallow_prefixes == ["/hop1/", "/hop2/"]
+    assert "seed2.example.org" not in rules      # allow-all → no row
+
+
 def test_cleanup_rules(spark):
     df = spark.createDataFrame(
         [
