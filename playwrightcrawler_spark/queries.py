@@ -258,21 +258,24 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """[dedup:lsh] banded self-join candidates over doc ∪ copy: every doc
-    must pair with its copy (oracle mode)."""
+    must pair with its copy (oracle mode). No orderBy: the correctness
+    compare is order-insensitive, and at bench scale the synthetic corpus
+    yields ~16M candidate pairs — a global sort of the result would
+    dominate the pipeline it measures."""
     both = _docs_with_copies(spark, sf_dir)
     sig = dedup.minhash_signatures(both, hash_mode="md5")
-    return dedup.lsh_candidate_pairs(sig, hash_mode="md5").orderBy("id_a", "id_b")
+    return dedup.lsh_candidate_pairs(sig, hash_mode="md5")
 
 
 def q_minhash_lsh_pairs_xxh(spark, sf_dir):
     """[dedup:lsh production] the same banded pipeline on the xxhash64
-    production path — numeric min-hashes, no md5 strings in the exploded
-    hot loop (~8× cheaper; the headline bench times THIS). Rows-only in
+    production path — numeric min-hashes, no md5 digest strings in the
+    exploded hot loop (the headline bench times BOTH modes). Rows-only in
     CORRECTNESS (DuckDB has no xxhash64); pytest pins its guaranteed-recall
     invariant to the md5 path: every exact copy pairs in both modes."""
     both = _docs_with_copies(spark, sf_dir)
     sig = dedup.minhash_signatures(both, hash_mode="xxh64")
-    return dedup.lsh_candidate_pairs(sig, hash_mode="xxh64").orderBy("id_a", "id_b")
+    return dedup.lsh_candidate_pairs(sig, hash_mode="xxh64")
 
 
 def q_ngram_jaccard(spark, sf_dir):
