@@ -280,13 +280,14 @@ class CrawlEngine:
             frontier_df,
             self.spark,
             blooms=self._bloom_rows if self.use_bloom else None,
-        )
-        obs = Observation()
-        new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n"))
-        self.lake.frontier.append(self.spark, new_rows, meta={"op": "ingest"})
-        self._frontier_cur = self.lake.frontier.read(self.spark)
-        self._bloom_update(self._frontier_cur.filter(F.col("wave") == wave))
-        return int(_obs_get(obs, {"n": 0})["n"])
+        ).cache()
+        n = new_rows.count()
+        if n:  # no empty delta commits when ingest runs every wave
+            self.lake.frontier.append(self.spark, new_rows, meta={"op": "ingest"})
+            self._frontier_cur = self.lake.frontier.read(self.spark)
+            self._bloom_update(new_rows)
+        new_rows.unpersist()
+        return n
 
     # ------------------------------------------------------------- one wave
     def run_wave(self, wave: int) -> dict:
@@ -651,6 +652,36 @@ class CrawlEngine:
             "ext_consistent": int(stats["consistent"]), "done": False,
         }
 
+    # ------------------------------------------------------ cleanup pass
+    def run_cleanup_pass(self, wave: int, **flags) -> dict:
+        """M1 between waves (reference cleanup_elasticsearch_indexes,
+        playwrightcrawler.py:3557-3730): apply the enabled delete rules to
+        the frontier in ONE scan and rewrite it as a fresh base — the
+        Iceberg row-level DELETE analogue (inherently O(table), same as
+        the reference's full index walk). Per-rule counters land in
+        wave_metrics (A5). No-op (no commit) when nothing matches."""
+        from playwrightcrawler_spark.operators import cleanup as cl
+
+        kept, stats = cl.cleanup(self._frontier(), **flags)
+        counts = {r["drop_reason"]: int(r["deleted"]) for r in stats.collect()}
+        deleted = sum(counts.values())
+        if deleted:
+            self.lake.frontier.write(
+                kept.select(*FRONTIER_COLS), meta={"op": "cleanup"}
+            )
+            self._frontier_cur = self.lake.frontier.read(self.spark)
+            now = datetime.now(timezone.utc)
+            self.lake.wave_metrics.write_rows(
+                [
+                    {"wave": wave, "scope": f"cleanup:{rule}", "metric": "deleted",
+                     "value": v, "method": "cleanup", "node_id": config.NODE_ID,
+                     "committed_at": now}
+                    for rule, v in counts.items()
+                ],
+                _METRICS_SCHEMA, meta={"op": "cleanup"},
+            )
+        return {"wave": wave, "op": "cleanup", "deleted": deleted, "rules": counts}
+
     # ----------------------------------------------------- crawled assembly
     def _build_crawled(self, fetched, html_pages, missing, raw_links, wave: int) -> DataFrame:
         """A4-schema rows, JOIN-FREE: the extraction output already carries
@@ -775,20 +806,45 @@ class CrawlEngine:
         waves = [v.get("wave", -1) for v in self.lake.frontier.versions()]
         return max(waves) if waves else -1
 
-    def run(self, waves: int, seed_urls: list[str] | None = None) -> list[dict]:
-        """X11/X12: the iteration loop. Resumes from the last committed wave
-        (kill-between-waves → relaunch → identical final tables)."""
+    def run(
+        self,
+        waves: int,
+        seed_urls: DataFrame | list[str] | None = None,
+        *,
+        fast_pass_every: int = 0,
+        cleanup_every: int = 0,
+        cleanup_flags: dict | None = None,
+        seed_folder: str | None = None,
+    ) -> list[dict]:
+        """X11/X12 + the maintenance phases. The reference splits phases
+        across instance roles — instance 1 runs cleanup + seed-file
+        ingestion, instance 2 runs dedup + the fast-extension pass, all
+        instances crawl (playwrightcrawler.py:5384-5413, M2); one Spark
+        driver sequences the same phases per iteration. Maintenance runs
+        AFTER the wave's commit under the same wave number, so resume
+        granularity stays one crawl wave (a kill between wave and
+        maintenance only skips that maintenance round — it reruns next
+        cycle)."""
         if not self.lake.frontier.exists():
-            if not seed_urls:
+            if seed_urls is None:
                 raise ValueError("empty frontier and no seed_urls")
             self.bootstrap(seed_urls)
         start = self.last_committed_wave() + 1
         out = []
         for w in range(start, start + waves):
+            if seed_folder:
+                # S5 continuous ingestion (reference process_input_url_files)
+                from playwrightcrawler_spark.sources import seeds as seedsrc
+
+                seedsrc.ingest_seeds(self, seed_folder)
             m = self.run_wave(w)
             out.append(m)
             if m.get("done"):
                 break
+            if fast_pass_every and (w - start) % fast_pass_every == fast_pass_every - 1:
+                out.append(self.run_fast_extension_pass(wave=w))
+            if cleanup_every and (w - start) % cleanup_every == cleanup_every - 1:
+                out.append(self.run_cleanup_pass(wave=w, **(cleanup_flags or {})))
         return out
 
 

@@ -292,6 +292,71 @@ def test_raw_webcontent_flag(spark, pages_dir, tmp_path_factory):
     assert "raw_webcontent" not in eng2.lake.crawled.read(spark).columns
 
 
+def test_run_orchestrates_maintenance_phases(spark, pages_dir, tmp_path_factory, tmp_path):
+    """X11/X12 + M-ops: one driver sequences crawl waves with the
+    fast-extension pass, the cleanup pass, and continuous seed ingestion
+    (the reference's instance-role split, playwrightcrawler.py:5384-5413)."""
+    folder = tmp_path / "seed_folder"
+    folder.mkdir()
+    (folder / "s.txt").write_text("https://tail007.example.io/p2.html\n")
+    wh = tmp_path_factory.mktemp("wh_orch")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=60,
+                      per_host_quota=2, method_weights={"oldest": 1})
+    out = eng.run(2, seed_urls=pages_gen.seed_urls(),
+                  fast_pass_every=1, cleanup_every=2,
+                  cleanup_flags=dict(remove_repeated=True, remove_invalid=True),
+                  seed_folder=str(folder))
+    ops = [m.get("op", "wave") for m in out]
+    assert ops.count("wave") == 2
+    assert "fast_pass" in ops and "cleanup" in ops
+    fr = eng.lake.frontier.read(spark)
+    # the folder seed was merged mid-crawl
+    assert fr.filter(F.col("url") == "https://tail007.example.io/p2.html").count() == 1
+    # fast pass consumed extension-routed candidates with a verdict
+    crawled = eng.lake.crawled.read(spark)
+    fast = crawled.filter(F.col("source") != "fetch_miss").filter(
+        F.col("route").isin("image", "pdf", "plain_text", "torrent")
+    )
+    # resume still lands on the next crawl wave despite maintenance commits
+    eng2 = CrawlEngine(spark, pages_dir, str(wh), wave_size=60,
+                       per_host_quota=2, method_weights={"oldest": 1})
+    assert eng2.last_committed_wave() == 2
+    m3 = eng2.run_wave(3)
+    assert m3["urls_selected"] >= 0
+
+
+def test_cleanup_pass_deletes_and_counts(spark, pages_dir, tmp_path_factory):
+    """M1: a frontier row violating an enabled rule is deleted and counted;
+    rule disabled → untouched."""
+    wh = tmp_path_factory.mktemp("wh_clean")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=20,
+                      method_weights={"oldest": 1})
+    eng.bootstrap(pages_gen.seed_urls())
+    # sneak a crawler-trap row past the (bypassed) hygiene
+    bad = spark.createDataFrame(
+        [("https://trap.example.net/a/b/a/b/a/b/x", -4242, "trap.example.net",
+          1, 1, 0.5, False, None, 0)],
+        "url string, url_hash long, host string, host_salt int, depth int,"
+        " score double, visited boolean, discovered_at timestamp, wave int",
+    )
+    eng.lake.frontier.append(spark, bad, meta={"op": "test_inject"})
+    eng._frontier_cur = None
+    before = eng._frontier().count()
+    m = eng.run_cleanup_pass(wave=0, remove_repeated=True, remove_invalid=False)
+    assert m["deleted"] == 1 and m["rules"] == {"repeated_segments": 1}
+    fr = eng.lake.frontier.read(spark)
+    assert fr.count() == before - 1
+    assert fr.filter(F.col("host") == "trap.example.net").count() == 0
+    stats = eng.lake.wave_metrics.read(spark).filter(
+        F.col("scope") == "cleanup:repeated_segments"
+    )
+    assert stats.count() == 1
+    # idempotent / no-op second pass commits nothing
+    v = eng.lake.frontier.latest_version
+    m2 = eng.run_cleanup_pass(wave=1, remove_repeated=True)
+    assert m2["deleted"] == 0 and eng.lake.frontier.latest_version == v
+
+
 def test_time_travel(crawl_result, spark):
     """S8 backup/restore analogue: earlier snapshots stay readable and
     smaller-or-equal than the head."""
