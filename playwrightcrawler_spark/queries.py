@@ -448,12 +448,17 @@ def q_fast_extension_pass(spark, sf_dir):
 
 def q_crawl_wave(spark, sf_dir):
     """[engine] one full crawl wave end-to-end on the synthetic pages
-    fixture (rows-only; pytest pins the per-url text invariant)."""
+    fixture with the SCALE configuration live — Bloom seen-set pre-filter,
+    robots compliance parsed from the corpus, MoR frontier commits
+    (rows-only; pytest pins the per-url text invariant and proves the
+    bloomed crawl table-identical to the exact path)."""
     from playwrightcrawler_spark.crawl.engine import CrawlEngine
     from playwrightcrawler_spark.sources import pages_gen
 
     wh = tempfile.mkdtemp(prefix="pwc_wave_")
-    eng = CrawlEngine(spark, _fixture_pages(spark), wh, wave_size=200)
+    eng = CrawlEngine(spark, _fixture_pages(spark), wh, wave_size=200,
+                      use_bloom=True, bloom_items_per_bucket=2000,
+                      robots_rules="pages")
     eng.run(1, seed_urls=pages_gen.seed_urls())
     return eng.lake.crawled.read(spark).select(
         "url", "route", "content_type", "isopendir", "host", "file_extension", "wave"
