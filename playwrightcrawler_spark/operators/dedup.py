@@ -149,7 +149,7 @@ def lsh_candidate_pairs(
     )
     left = stacked.alias("l")
     right = stacked.alias("r")
-    return (
+    pairs = (
         left.join(right, on="band_key")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
@@ -158,6 +158,15 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    # Materialize the (small) pair set, then release the signature cache:
+    # repeated invocations in one session (bench runs md5 + xxh64 modes,
+    # jaccard reuses the pipeline) would otherwise accumulate persisted
+    # partitions for the session's lifetime (round-2 advice). On a cluster
+    # this is a persisted table; localCheckpoint is the single-JVM analogue
+    # and also saves downstream consumers the banded-join recompute.
+    pairs = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

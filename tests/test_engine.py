@@ -206,6 +206,28 @@ def test_robots_denied_marked_visited_not_reselected(spark, pages_dir, tmp_path_
     assert per_wave.filter(F.col("count") > 1).count() == 0
 
 
+def test_crawl_delay_slot_ignores_denied_rows(spark, pages_dir, tmp_path_factory):
+    """A robots-denied row must not occupy a crawl-delay host's single
+    politeness slot: when the denied row sorts first, the allowed URL is
+    still crawled that wave instead of being deferred while the denied row
+    is consumed (round-2 advice)."""
+    robots = spark.createDataFrame(
+        [("mega.example.com", ["/sec0/"], 1000)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    wh = tmp_path_factory.mktemp("wh_delay_denied")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=10, per_host_quota=5,
+                      method_weights={"oldest": 1}, robots_rules=robots)
+    eng.run(1, seed_urls=[
+        "https://mega.example.com/sec0/item0.html",   # denied; sorts first
+        "https://mega.example.com/sec1/item0.html",   # allowed
+    ])
+    crawled = eng.lake.crawled.read(spark)
+    got = {r.url for r in crawled.select("url").collect()}
+    assert "https://mega.example.com/sec1/item0.html" in got, got
+    assert "https://mega.example.com/sec0/item0.html" not in got
+
+
 def test_seed_ingest_merges_into_live_frontier(spark, pages_dir, tmp_path_factory):
     """S5 during a crawl: ingest must anti-join + append, never clobber the
     frontier snapshot with only the new seed rows."""
