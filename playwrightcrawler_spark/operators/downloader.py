@@ -123,23 +123,43 @@ def host_budgeted_fetch(
 ) -> DataFrame:
     """X9/X10: fetch bytes for the selected URLs with per-host politeness.
 
-    - the (small) URL set broadcasts against the (10^10-row) pages table:
-      an inner join scans pages once, shuffle-free; dead URLs are recovered
-      by a tiny anti-join and tagged ``missing``;
+    - the per-host budget is applied BEFORE the bytes join: a window rank
+      over (host, url) splits the input into in-budget rows (`<= budget`)
+      and over-budget rows, which are emitted as ``skipped_budget`` from
+      the cheap side with no payload. A mega-host with 10^8 asset URLs
+      therefore contributes at most ``budget`` rows to its pandas group
+      (bounded memory) and the pages scan never fetches bytes for rows
+      that would be skipped anyway (round-2 verdict fix);
+    - the (small) in-budget set broadcasts against the (10^10-row) pages
+      table: an inner join scans pages once, shuffle-free; dead URLs are
+      recovered by a tiny anti-join and tagged ``missing``. A fetch
+      ATTEMPT consumes a budget slot whether or not the URL resolves —
+      politeness budgets requests, not successes;
     - ``groupBy(host).applyInPandas`` serializes each host inside one task
-      (reference per-host lock, downloader.py:256-264) and enforces a
-      per-host budget in deterministic url order — rows over budget are
-      tagged ``skipped_budget``, never silently dropped (no silent caps);
+      (reference per-host lock, downloader.py:256-264) in deterministic
+      url order; no row is ever silently dropped (no silent caps);
     - host_salt skew note: politeness accounting must aggregate on the RAW
-      host, so the grouping key is host itself; a mega-host's budget rows
-      are bounded (= budget), so the group is small by construction.
+      host, so the grouping/window key is host itself.
 
     Input ``urls`` needs (url, host); output one row per input url.
     """
+    from pyspark.sql import Window
+
     want = urls.select("url", "host")
-    hit = pages.select("url", "html").join(F.broadcast(want), on="url", how="inner")
+    w = Window.partitionBy("host").orderBy("url")
+    ranked = want.withColumn("_rn", F.row_number().over(w))
+    in_budget = ranked.filter(F.col("_rn") <= budget_per_host).drop("_rn")
+    over_budget = ranked.filter(F.col("_rn") > budget_per_host).select(
+        "url", "host",
+        F.lit(None).cast("long").alias("bytes_len"),
+        F.lit("skipped_budget").alias("status"),
+        F.lit(None).cast("string").alias("filepath"),
+    )
+    hit = pages.select("url", "html").join(
+        F.broadcast(in_budget), on="url", how="inner"
+    )
     missing = (
-        want.join(F.broadcast(hit.select("url")), on="url", how="left_anti")
+        in_budget.join(F.broadcast(hit.select("url")), on="url", how="left_anti")
         .select(
             "url", "host",
             F.lit(None).cast("long").alias("bytes_len"),
@@ -148,20 +168,16 @@ def host_budgeted_fetch(
         )
     )
 
-    def _budget(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group size is <= budget_per_host by construction (window pre-limit)
         pdf = pdf.sort_values("url").reset_index(drop=True)
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "url": pdf["url"],
             "host": pdf["host"],
             "bytes_len": pdf["html"].map(lambda b: len(b) if b is not None else 0),
-            "status": [
-                "downloaded" if i < budget_per_host else "skipped_budget"
-                for i in range(len(pdf))
-            ],
+            "status": "downloaded",
             "filepath": pdf["url"].map(safe_filepath_from_url),
         })
-        out.loc[out["status"] != "downloaded", ["bytes_len", "filepath"]] = None
-        return out
 
-    fetched = hit.groupBy("host").applyInPandas(_budget, _FETCH_SCHEMA)
-    return fetched.unionByName(missing)
+    fetched = hit.groupBy("host").applyInPandas(_fetch, _FETCH_SCHEMA)
+    return fetched.unionByName(missing).unionByName(over_budget)

@@ -416,4 +416,48 @@ ORACLES: dict[str, str] = {
         ORDER BY url
     """,
     "fast_extension_pass": _fast_ext_oracle(),
+    # X9/X10: independent SQL recomputation of the budgeted-fetch pipeline —
+    # rank per host in url order, rank<=2 attempts fetch (missing when the
+    # url is not in pages), over-budget rows skipped with no payload
+    "downloader_fetch": f"""
+        WITH c AS (
+            SELECT url, {_SQL_HOST} AS host, {_SQL_EXT} AS file_extension
+            FROM read_parquet('{_FIXTURE_PARQUET}')
+        ),
+        scan AS (
+            SELECT url, host FROM c
+            WHERE regexp_matches(file_extension, '^(png|jpe?g|gif|pdf|zip|mp3|mp4)$')
+              AND NOT regexp_matches(host, '^media\\.')
+        ),
+        want AS (
+            SELECT url, host FROM scan
+            UNION ALL
+            SELECT 'https://cdn.example.com/assets/0missing.png', 'cdn.example.com'
+        ),
+        r AS (
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+            FROM want
+        ),
+        j AS (
+            SELECT r.url, r.host, r.rn, p.html
+            FROM r LEFT JOIN read_parquet('{_FIXTURE_PARQUET}') p USING (url)
+        )
+        SELECT url, host,
+               coalesce(CASE WHEN rn <= 2 AND html IS NOT NULL
+                             THEN CAST(octet_length(html) AS BIGINT) END,
+                        CAST(-1 AS BIGINT)) AS bytes_len,
+               CASE WHEN rn > 2 THEN 'skipped_budget'
+                    WHEN html IS NULL THEN 'missing'
+                    ELSE 'downloaded' END AS status
+        FROM j
+    """,
+    # E1 invariant reduced to one row: n_pages counted independently from
+    # the fixture; mismatches pinned to 0 = the byte-identical contract
+    "pages_extract": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(0 AS BIGINT) AS mismatches
+        FROM read_parquet('{_FIXTURE_PARQUET}')
+        WHERE text <> ''
+    """,
 }

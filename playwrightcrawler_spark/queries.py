@@ -407,20 +407,28 @@ def q_downloader_scan(spark, sf_dir):
 
 
 def q_downloader_fetch(spark, sf_dir):
-    """[X9/X10] politeness-bounded download fan-out (rows-only:
-    applyInPandas politeness kernel): per-host budget of 2, one in-flight
-    host per group, dead URL tagged missing, traversal-proof mirror path
-    (P19)."""
+    """[X9/X10] politeness-bounded download fan-out: per-host budget of 2
+    applied as a window pre-limit BEFORE the bytes join (bounded pandas
+    groups at scale), one in-flight host per group, dead URL tagged
+    missing, over-budget rows tagged skipped_budget. Oracle: DuckDB
+    recomputes the rank/status/bytes pipeline in SQL; the P19 mirror path
+    is pinned separately by the parity pytest."""
     from playwrightcrawler_spark.operators import downloader
 
     pages = spark.read.parquet(_fixture_pages(spark))
     urls = q_downloader_scan(spark, sf_dir).select("url", "host").unionByName(
         spark.createDataFrame(
-            [("https://cdn.example.com/assets/missing.png", "cdn.example.com")],
+            [("https://cdn.example.com/assets/0missing.png", "cdn.example.com")],
             "url string, host string",
         )
     )
-    return downloader.host_budgeted_fetch(urls, pages, budget_per_host=2).orderBy("url")
+    # bytes_len is NULL for never-fetched rows (operator contract); the
+    # compare harness sorts row tuples, so project it to a -1 sentinel
+    return downloader.host_budgeted_fetch(urls, pages, budget_per_host=2).select(
+        "url", "host",
+        F.coalesce(F.col("bytes_len"), F.lit(-1).cast("long")).alias("bytes_len"),
+        "status",
+    )
 
 
 def q_fast_extension_pass(spark, sf_dir):
@@ -467,17 +475,20 @@ def q_crawl_wave(spark, sf_dir):
 
 def q_pages_extract(spark, sf_dir):
     """[E1 invariant, distributed form] extracted text must equal the
-    fixture's expected text for every html page (match=true everywhere)."""
+    fixture's expected text for every html page. Reduced to a
+    (n_pages, mismatches) row so the DuckDB oracle can assert the
+    invariant: n_pages counted independently from the fixture, mismatches
+    pinned to 0 (the byte-identical contract)."""
     from playwrightcrawler_spark.functions import udfs
 
     pages = spark.read.parquet(_fixture_pages(spark))
     return (
-        pages.withColumn("extracted", udfs.extract_text(F.col("html")))
-        .select(
-            "url",
-            (F.col("extracted") == F.col("text")).alias("match"),
+        pages.filter(F.col("text") != "")
+        .withColumn("extracted", udfs.extract_text(F.col("html")))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count(F.when(F.col("extracted") != F.col("text"), 1)).alias("mismatches"),
         )
-        .filter(F.col("text") != "")
     )
 
 

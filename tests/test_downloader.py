@@ -67,14 +67,16 @@ def test_filtered_scan_include_exclude(spark, pages_dir):
 
 def test_host_budgeted_fetch_politeness(spark, pages_dir):
     """X9/X10: per-host budget respected, over-budget rows tagged (never
-    silently dropped), dead URLs tagged missing, P19 path attached."""
+    silently dropped), dead URLs tagged missing, P19 path attached. A fetch
+    attempt consumes a budget slot whether or not the URL resolves."""
     pages = spark.read.parquet(pages_dir)
     urls = (
         pages.filter(F.col("url").rlike(r"^https://mega\.example\.com/"))
         .select("url", F.lit("mega.example.com").alias("host"))
         .unionByName(
             spark.createDataFrame(
-                [("https://mega.example.com/sec9/missing.html", "mega.example.com"),
+                # "a_missing" sorts first on mega → lands inside the budget
+                [("https://mega.example.com/a_missing.html", "mega.example.com"),
                  ("https://cdn.example.com/assets/logo.png", "cdn.example.com")],
                 "url string, host string",
             )
@@ -90,9 +92,43 @@ def test_host_budgeted_fetch_politeness(spark, pages_dir):
     )
     assert per_host_dl.filter(F.col("count") > 5).count() == 0
     assert by_status.get("skipped_budget", 0) > 0     # mega-host over budget
+    # the missing attempt consumed a slot: mega downloads = budget - 1
+    mega_dl = out.filter((F.col("host") == "mega.example.com")
+                         & (F.col("status") == "downloaded")).count()
+    assert mega_dl == 4
     row = out.filter(F.col("url") == "https://cdn.example.com/assets/logo.png").first()
     assert row.status == "downloaded" and row.bytes_len > 0
     assert row.filepath == "downloads/cdn.example.com/assets/logo.png"
+    out.unpersist()
+
+
+def test_host_budgeted_fetch_group_bounded_at_scale(spark, pages_dir):
+    """Round-2 verdict fix: a host at 50x the budget must land at most
+    `budget` rows in the pandas fetch group — the budget is a window
+    pre-limit BEFORE the bytes join, not an in-kernel tag — and the plan
+    ranks before joining (no payloads for skipped rows)."""
+    budget = 3
+    n = budget * 50
+    pages = spark.read.parquet(pages_dir)
+    urls = spark.createDataFrame(
+        [(f"https://mega.example.com/sec{s}/item{j}.html", "mega.example.com")
+         for s in range(6) for j in range(12)]
+        + [(f"https://mega.example.com/bulk/{i:04d}.bin", "mega.example.com")
+           for i in range(n - 72)],
+        "url string, host string",
+    )
+    out = downloader.host_budgeted_fetch(urls, pages, budget_per_host=budget).cache()
+    assert out.count() == n
+    # exactly `budget` rows ever reached the fetch side (downloaded|missing);
+    # everything else was emitted from the cheap side with no payload
+    attempted = out.filter(F.col("status") != "skipped_budget")
+    assert attempted.count() == budget
+    skipped = out.filter(F.col("status") == "skipped_budget")
+    assert skipped.count() == n - budget
+    assert skipped.filter(F.col("bytes_len").isNotNull()).count() == 0
+    # plan audit: the row_number window feeds the join input
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan.lower(), plan[:2000]
     out.unpersist()
 
 

@@ -113,6 +113,6 @@ def test_minhash_modes_agree_on_guaranteed_recall(spark, sf_dir):
 
 def test_pages_extract_invariant(spark, sf_dir):
     """Every html fixture page must extract byte-identically."""
-    df = entrymod.queries()["pages_extract"](spark, sf_dir)
-    bad = df.filter(~df.match)
-    assert bad.count() == 0, bad.limit(5).collect()
+    row = entrymod.queries()["pages_extract"](spark, sf_dir).first()
+    assert row.n_pages > 10
+    assert row.mismatches == 0
