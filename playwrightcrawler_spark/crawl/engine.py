@@ -164,8 +164,8 @@ class CrawlEngine:
         self.extract_raw = extract_raw_webcontent
         self._frontier_cur: DataFrame | None = None
         self._bloom_rows: list | None = None
-        if use_bloom and self.lake.seen_bloom.exists():
-            self._bloom_rows = self.lake.seen_bloom.read(spark).collect()
+        if use_bloom and self.lake.frontier.exists():
+            self._bloom_sync()
 
     # ------------------------------------------------------------------ util
     def _pages(self) -> DataFrame:
@@ -254,27 +254,100 @@ class CrawlEngine:
         """S5: seed ingestion → frontier v1 (same hygiene as links). Accepts
         a DataFrame so a 10^8-line seed folder never touches the driver."""
         rows = self._seed_rows(seed_urls, wave=0)
-        self.lake.frontier.write(rows, meta={"wave": 0, "op": "bootstrap"})
+        self.lake.frontier.write(
+            rows, meta={"wave": 0, "op": "bootstrap", "adds_hashes": True}
+        )
         self._frontier_cur = self.lake.frontier.read(self.spark)
         self._bloom_update(self._frontier_cur)
         return self._frontier_cur.count()
+
+    # ---------------------------------------------------- bloom sidecar life
+    def _bloom_sync(self) -> None:
+        """Make the sidecar exactly cover the frontier on engine start.
+
+        The sidecar records the frontier version it covers; any LATER
+        frontier commit that added url_hashes (``adds_hashes`` meta —
+        flip-only and compaction commits add none) means hashes exist that
+        the Bloom has never seen, which would be flagged 'definitely new'
+        and re-inserted — violating the exactness contract. That happens
+        when (a) use_bloom is enabled mid-life on a warehouse without a
+        sidecar, or (b) a kill landed between the frontier commit and the
+        sidecar write (they are separate commits). Either way: rebuild
+        from the FULL frontier (round-2 advice)."""
+        side = self.lake.seen_bloom
+        covered = side.versions()[-1].get("frontier_version") if side.exists() else None
+        if covered is not None:
+            stale = any(
+                # unknown provenance (pre-lifecycle warehouses) counts as
+                # hash-adding — rebuild is the safe default
+                e.get("adds_hashes", True)
+                for e in self.lake.frontier.versions()
+                if e["version"] > covered
+            )
+        else:
+            stale = True
+        if stale:
+            self._bloom_rebuild()
+        else:
+            self._bloom_rows = side.read(self.spark).collect()
+
+    def _bloom_rebuild(self) -> None:
+        """Full sidecar rebuild with (m, k) re-derived from the ACTUAL
+        frontier size (2x headroom): fixed build-time parameters otherwise
+        saturate once the frontier outgrows them — FPP degrades toward 1
+        and every candidate takes the broadcast-confirm path, silently
+        un-filtering the pre-filter (round-2 verdict). Called at
+        compaction (the moment the full key set is being scanned anyway)
+        and when the sidecar is missing/stale."""
+        if not self.use_bloom:
+            return
+        frontier_df = self._frontier()
+        n = frontier_df.count()
+        per_bucket = max(
+            -(-n * 2 // config.HOST_SALT_BUCKETS),  # ceil, 2x headroom
+            self.bloom_items,
+        )
+        new = seen.build_blooms(
+            frontier_df.select("host_salt", "url_hash"),
+            expected_items_per_bucket=per_bucket,
+        )
+        rows = [r.asDict() for r in new.collect()]
+        self.lake.seen_bloom.write_rows(
+            rows, seen.SIDECAR_PA_SCHEMA,
+            meta={"frontier_version": self.lake.frontier.latest_version,
+                  "per_bucket": int(per_bucket), "op": "rebuild"},
+        )
+        self._bloom_rows = rows
 
     def _bloom_update(self, insert_rows: DataFrame) -> None:
         """OR-merge a Bloom over freshly inserted url_hashes into the
         per-bucket sidecar: O(wave) build where the data lives, one collect
         of the 64-row sidecar, driver-side parquet write (no extra Spark
-        write job). The sidecar is part of the checkpoint — resume reloads
-        it instead of rebuilding."""
+        write job). The increment is built with the LIVE sidecar's (m, k)
+        — after a resize they differ from the config-derived defaults.
+        The sidecar is part of the checkpoint — resume reloads it instead
+        of rebuilding — and records the frontier version it covers so a
+        kill between the two commits is detected (``_bloom_sync``)."""
         if not self.use_bloom:
             return
+        params = {}
+        if self._bloom_rows:
+            params = dict(
+                m_bits=int(self._bloom_rows[0]["m_bits"]),
+                k=int(self._bloom_rows[0]["k"]),
+            )
         new = seen.build_blooms(
             insert_rows.select("host_salt", "url_hash"),
             expected_items_per_bucket=self.bloom_items,
+            **params,
         )
         if self._bloom_rows:
             new = seen.merge_blooms(self.lake.seen_bloom.read(self.spark), new)
         rows = [r.asDict() for r in new.collect()]
-        self.lake.seen_bloom.write_rows(rows, seen.SIDECAR_PA_SCHEMA)
+        self.lake.seen_bloom.write_rows(
+            rows, seen.SIDECAR_PA_SCHEMA,
+            meta={"frontier_version": self.lake.frontier.latest_version},
+        )
         self._bloom_rows = rows
 
     def ingest(self, seed_urls: DataFrame | list[str]) -> int:
@@ -294,7 +367,9 @@ class CrawlEngine:
         ).cache()
         n = new_rows.count()
         if n:  # no empty delta commits when ingest runs every wave
-            self.lake.frontier.append(self.spark, new_rows, meta={"op": "ingest"})
+            self.lake.frontier.append(
+                self.spark, new_rows, meta={"op": "ingest", "adds_hashes": True}
+            )
             self._frontier_cur = self.lake.frontier.read(self.spark)
             self._bloom_update(new_rows)
         new_rows.unpersist()
@@ -524,12 +599,21 @@ class CrawlEngine:
         # and a compaction folds deltas into a fresh base every K waves.
         flips = selected.select("url_hash").withColumn("wave", F.lit(wave).cast("int"))
         frontier_version = self.lake.frontier.commit_wave(
-            inserts=insert_rows, flips=flips, meta={"wave": wave}
+            inserts=insert_rows, flips=flips,
+            meta={"wave": wave, "adds_hashes": True},
         )  # ACTION 3 (two O(wave) writes)
         if self.lake.frontier.deltas_since_base() >= self.compact_every:
-            self.lake.frontier.compact(spark, meta={"wave": wave})
-        self._frontier_cur = self.lake.frontier.read(spark)
-        self._bloom_update(insert_rows)
+            self.lake.frontier.compact(
+                spark, meta={"wave": wave, "adds_hashes": False}
+            )
+            self._frontier_cur = self.lake.frontier.read(spark)
+            # compaction scans the full key set anyway — the moment to
+            # re-derive (m, k) from actual counts instead of OR-merging
+            # into possibly-saturated fixed-size blooms
+            self._bloom_rebuild()
+        else:
+            self._frontier_cur = self.lake.frontier.read(spark)
+            self._bloom_update(insert_rows)
         link_stats = _obs_get(
             obs_links,
             {"links_seen": 0, **{f"drop_{r}": 0 for r in DROP_REASONS}},
@@ -647,8 +731,10 @@ class CrawlEngine:
         stats = _obs_get(obs, {"fetched_ok": 0, "consistent": 0})
 
         flips = sel.select("url_hash").withColumn("wave", F.lit(wave).cast("int"))
-        self.lake.frontier.commit_wave(inserts=None, flips=flips,
-                                       meta={"wave": wave, "op": "fast_pass"})
+        self.lake.frontier.commit_wave(
+            inserts=None, flips=flips,
+            meta={"wave": wave, "op": "fast_pass", "adds_hashes": False},
+        )
         self._frontier_cur = self.lake.frontier.read(spark)
         now = datetime.now(timezone.utc)
         self.lake.wave_metrics.write_rows(
@@ -684,8 +770,11 @@ class CrawlEngine:
         counts = {r["drop_reason"]: int(r["deleted"]) for r in stats.collect()}
         deleted = sum(counts.values())
         if deleted:
+            # a cleanup shrinks the frontier: the sidecar becomes a
+            # superset (extra FPs only — exactness holds via the confirm
+            # join), so no rebuild is required
             self.lake.frontier.write(
-                kept.select(*FRONTIER_COLS), meta={"op": "cleanup"}
+                kept.select(*FRONTIER_COLS), meta={"op": "cleanup", "adds_hashes": False}
             )
             self._frontier_cur = self.lake.frontier.read(self.spark)
             now = datetime.now(timezone.utc)

@@ -101,11 +101,19 @@ def build_blooms(
     fpp: float = config.BLOOM_FPP,
     hash_col: str = "url_hash",
     salt_col: str = "host_salt",
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """One Bloom sidecar row per host_salt bucket, built where the data
     lives: applyInPandas over the bucket grouping (the same shuffle key as
-    the frontier's physical layout, so on Iceberg this is shuffle-free)."""
-    m_bits, k = bloom_params(expected_items_per_bucket, fpp)
+    the frontier's physical layout, so on Iceberg this is shuffle-free).
+
+    Pass explicit ``(m_bits, k)`` to build an increment that OR-merges into
+    an EXISTING sidecar (bloom union requires equal parameters) — after a
+    compaction-time resize the live sidecar's parameters differ from what
+    ``expected_items_per_bucket`` alone would derive."""
+    if m_bits is None or k is None:
+        m_bits, k = bloom_params(expected_items_per_bucket, fpp)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)

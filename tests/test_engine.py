@@ -275,6 +275,95 @@ def test_bloom_crawl_identical_to_exact(spark, pages_dir, tmp_path_factory):
     assert eng2._bloom_rows, "sidecar not reloaded on resume"
 
 
+def test_bloom_sidecar_rebuilt_when_missing_or_stale(spark, pages_dir, tmp_path_factory):
+    """Round-2 advice: (a) enabling use_bloom mid-life on a warehouse with
+    no sidecar rebuilds it from the FULL frontier, not just the next wave's
+    inserts; (b) a frontier insert commit with no matching sidecar write
+    (kill between the two separate commits) is detected via the recorded
+    frontier version and triggers a rebuild — no frontier hash may ever be
+    invisible to the Bloom (exactness contract)."""
+    from playwrightcrawler_spark.operators import seen
+
+    wh = tmp_path_factory.mktemp("wh_bloom_life")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=100, per_host_quota=2,
+                      method_weights={"oldest": 1})          # bloom OFF
+    eng.run(2, seed_urls=pages_gen.seed_urls())
+
+    # (a) flag enabled mid-life: sidecar missing → rebuilt from full frontier
+    eng2 = CrawlEngine(spark, pages_dir, str(wh), wave_size=100, per_host_quota=2,
+                       method_weights={"oldest": 1}, use_bloom=True,
+                       bloom_items_per_bucket=1000)
+    assert eng2._bloom_rows, "sidecar not rebuilt on enable"
+    cover = eng2.lake.frontier.read(spark).withColumn(
+        "m", seen.maybe_seen_col(spark, eng2._bloom_rows))
+    assert cover.filter(~F.col("m")).count() == 0            # zero false negatives
+
+    # (b) simulate the kill: inserts committed, sidecar write never ran
+    extra = eng2._seed_rows(["https://tail009.example.io/fresh.html"], wave=99)
+    eng2.lake.frontier.commit_wave(inserts=extra, flips=None,
+                                   meta={"wave": 99, "adds_hashes": True})
+    eng3 = CrawlEngine(spark, pages_dir, str(wh), wave_size=100, per_host_quota=2,
+                       method_weights={"oldest": 1}, use_bloom=True,
+                       bloom_items_per_bucket=1000)
+    cover3 = eng3.lake.frontier.read(spark).withColumn(
+        "m", seen.maybe_seen_col(spark, eng3._bloom_rows))
+    assert cover3.filter(~F.col("m")).count() == 0
+    # flip-only commits (fast pass) add no hashes → NO needless rebuild
+    v_before = eng3.lake.seen_bloom.latest_version
+    eng3.lake.frontier.commit_wave(
+        inserts=None,
+        flips=extra.select("url_hash").withColumn("wave", F.lit(100).cast("int")),
+        meta={"wave": 100, "adds_hashes": False},
+    )
+    eng4 = CrawlEngine(spark, pages_dir, str(wh), wave_size=100, per_host_quota=2,
+                       method_weights={"oldest": 1}, use_bloom=True,
+                       bloom_items_per_bucket=1000)
+    assert eng4.lake.seen_bloom.latest_version == v_before
+
+
+def test_bloom_resize_on_compaction(spark, pages_dir, tmp_path_factory):
+    """Round-2 verdict: a sidecar sized for N items must not silently
+    saturate when the frontier outgrows it — compaction rebuilds with
+    (m, k) re-derived from actual counts, keeping measured FPP < 2x the
+    configured target."""
+    import numpy as np
+
+    from playwrightcrawler_spark import config
+    from playwrightcrawler_spark.operators import seen
+
+    def measured_fpp(rows):
+        fp = tot = 0
+        probe = (np.arange(10_000, dtype=np.int64) * np.int64(2654435761)) + np.int64(987654321)
+        for r in rows:
+            bits = np.frombuffer(r["bits"], dtype=np.uint8)
+            hits = seen._test_bits(bits, probe, int(r["m_bits"]), int(r["k"]))
+            fp += int(hits.sum())
+            tot += len(probe)
+        return fp / tot
+
+    wh = tmp_path_factory.mktemp("wh_bloom_resize")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=50, per_host_quota=2,
+                      method_weights={"oldest": 1}, use_bloom=True,
+                      bloom_items_per_bucket=1,       # ~300x undersized
+                      compact_every=1)
+    # 20k-url frontier against 64-bit buckets: the fixed sizing saturates
+    seeds = spark.range(20_000).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".example.org/p.html")).alias("url")
+    )
+    eng.bootstrap(seeds)
+    saturated = measured_fpp(eng._bloom_rows)
+    assert saturated > 0.5, saturated                 # degenerate pre-resize
+    eng.run(1)                                        # commit → compact → rebuild
+    assert any(e.get("op") == "compact" for e in eng.lake.frontier.versions())
+    rows = eng._bloom_rows
+    assert rows[0]["m_bits"] > 64                     # actually resized
+    assert measured_fpp(rows) < 2 * config.BLOOM_FPP
+    # coverage invariant survives the rebuild
+    cover = eng.lake.frontier.read(spark).withColumn(
+        "m", seen.maybe_seen_col(spark, rows))
+    assert cover.filter(~F.col("m")).count() == 0
+
+
 def test_monthly_partition_routing(crawl_result, spark):
     """S3: crawled rows land in month=YYYY-MM partition directories and a
     month filter prunes at the source (reference monthly indices)."""
