@@ -101,5 +101,10 @@ BLOOM_EXPECTED_ITEMS = 10_000_000
 BLOOM_FPP = 0.01
 BLOOM_ITEMS_PER_BUCKET = BLOOM_EXPECTED_ITEMS // HOST_SALT_BUCKETS
 
+# MoR frontier: compact as soon as the accumulated flip rows (the
+# merge-on-read join side) exceed this, regardless of the delta count —
+# flip volume, not commit count, is what grows the read-path join side
+COMPACT_FLIP_ROWS = 2_000_000
+
 # default parallelism used by tests/bench on this sandbox
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))

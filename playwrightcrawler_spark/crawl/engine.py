@@ -120,6 +120,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         bloom_items_per_bucket: int = config.BLOOM_ITEMS_PER_BUCKET,
         compact_every: int = 16,
+        compact_flip_rows: int = config.COMPACT_FLIP_ROWS,
         extract_raw_webcontent: bool = config.EXTRACT_RAW_WEBCONTENT,
     ):
         self.spark = spark
@@ -155,8 +156,14 @@ class CrawlEngine:
         # between scanning and SHUFFLING a 10^10-row table per wave.
         self.use_bloom = use_bloom
         self.bloom_items = bloom_items_per_bucket
-        # fold MoR deltas into a fresh base every K waves
+        # fold MoR deltas into a fresh base every K waves — OR as soon as
+        # the accumulated flip rows exceed compact_flip_rows: the flip set
+        # is read()'s merge-join side, and at wave_size 10^7 a count-based
+        # cadence alone would let it grow past any broadcast budget
+        # (round-2 verdict; read() also degrades to a shuffle join past
+        # MorTable.FLIP_BROADCAST_ROWS as the belt-and-braces bound)
         self.compact_every = compact_every
+        self.compact_flip_rows = compact_flip_rows
         # raw_webcontent column (reference EXTRACT_RAW_WEBCONTENT,
         # config.py:128, truncation playwrightcrawler.py:3437): stored for
         # html rows only; default off matches the reference. Must stay
@@ -602,7 +609,10 @@ class CrawlEngine:
             inserts=insert_rows, flips=flips,
             meta={"wave": wave, "adds_hashes": True},
         )  # ACTION 3 (two O(wave) writes)
-        if self.lake.frontier.deltas_since_base() >= self.compact_every:
+        if (
+            self.lake.frontier.deltas_since_base() >= self.compact_every
+            or self.lake.frontier.flip_rows_since_base() >= self.compact_flip_rows
+        ):
             self.lake.frontier.compact(
                 spark, meta={"wave": wave, "adds_hashes": False}
             )

@@ -175,6 +175,13 @@ class MorTable(SnapshotTable):
 
     FLIP_COLS = ("url_hash", "wave")
 
+    # above this many accumulated flip rows, read() merges flips with a
+    # shuffle join instead of a broadcast — a broadcast that grows with
+    # crawled-since-base would eventually exceed any driver/executor
+    # memory budget (round-2 verdict; real Iceberg sidesteps this with
+    # positional deletes). Tests/engines may override per instance.
+    FLIP_BROADCAST_ROWS = 5_000_000
+
     def __init__(self, root: str, name: str):
         super().__init__(root, name, kind="mor")
 
@@ -239,8 +246,14 @@ class MorTable(SnapshotTable):
                 .groupBy("url_hash")
                 .agg(F.max("wave").alias("_flip_wave"))
             )
+            # broadcast only while the accumulated flip set is small;
+            # beyond the threshold fall back to a shuffle join (the flip
+            # set is still orders of magnitude below the frontier, and
+            # compaction triggered on flip volume keeps this path rare)
+            if self.flip_rows_since_base(upto=v) <= self.FLIP_BROADCAST_ROWS:
+                flips = F.broadcast(flips)
             rows = (
-                rows.join(F.broadcast(flips), on="url_hash", how="left")
+                rows.join(flips, on="url_hash", how="left")
                 .withColumn(
                     "visited",
                     F.when(F.col("_flip_wave").isNotNull(), True).otherwise(F.col("visited")),
@@ -260,6 +273,29 @@ class MorTable(SnapshotTable):
         if not base_vs:
             return len(entries)
         return len([e for e in entries if e["version"] > max(base_vs)])
+
+    def flip_rows_since_base(self, upto: int | None = None) -> int:
+        """Cumulative flip rows in deltas after the last base — the size of
+        the merge-on-read join side. Counted from parquet footers (driver-
+        side metadata reads, no Spark job), so it is exact regardless of
+        who committed the flips."""
+        import pyarrow.parquet as pq
+
+        entries = [e for e in self.versions()
+                   if upto is None or e["version"] <= upto]
+        base_vs = [e["version"] for e in entries if self._is_base(e)]
+        base_v = max(base_vs) if base_vs else -1
+        total = 0
+        for e in entries:
+            if e["version"] <= base_v:
+                continue
+            d = Path(self._snap_dir(e["version"])) / "flips"
+            if d.exists():
+                total += sum(
+                    pq.ParquetFile(p).metadata.num_rows
+                    for p in d.glob("*.parquet")
+                )
+        return total
 
     def compact(self, spark: SparkSession, meta: dict | None = None) -> int:
         """Fold base+deltas into a new base (Iceberg rewrite_data_files)."""

@@ -97,6 +97,58 @@ def test_read_plan_broadcasts_flips(spark, mor):
     assert "SortMergeJoin" not in plan
 
 
+def test_flip_volume_bounds_broadcast_and_triggers_compaction(spark, mor):
+    """Round-2 verdict: the flip set read() merges must stay bounded.
+    (1) flip_rows_since_base counts actual parquet rows; (2) past
+    FLIP_BROADCAST_ROWS read() switches the flip merge to a shuffle join
+    instead of a growing broadcast; (3) compaction resets the count."""
+    mor.write(_rows(spark, range(200)), meta={"wave": 0})
+    for w in range(1, 4):
+        mor.commit_wave(
+            None,
+            spark.createDataFrame(
+                [(i, w) for i in range(w * 10, w * 10 + 50)],
+                "url_hash long, wave int",
+            ),
+            meta={"wave": w},
+        )
+    assert mor.flip_rows_since_base() == 150
+    # auto-broadcast off isolates the HINT: past the row bound the hint
+    # must be gone (at real scale Catalyst's size stats then pick the
+    # shuffle join; at test scale they would re-broadcast the tiny set,
+    # which is also correct — the fix removes the FORCED broadcast)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mor.FLIP_BROADCAST_ROWS = 100          # over: no hint → shuffle join
+        plan = mor.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        a = sorted(tuple(r) for r in mor.read(spark).collect())
+        mor.FLIP_BROADCAST_ROWS = MorTable.FLIP_BROADCAST_ROWS  # under: hinted
+        plan = mor.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        b = sorted(tuple(r) for r in mor.read(spark).collect())
+        assert a == b                          # state identical on both paths
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    mor.compact(spark)
+    assert mor.flip_rows_since_base() == 0
+
+
+def test_engine_compacts_on_flip_volume(spark, pages_dir, tmp_path_factory):
+    """compact_flip_rows triggers compaction on cumulative flip rows even
+    when the delta COUNT cadence would not."""
+    from playwrightcrawler_spark.crawl.engine import CrawlEngine
+    from playwrightcrawler_spark.sources import pages_gen
+
+    wh = tmp_path_factory.mktemp("wh_flipcompact")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=50, per_host_quota=2,
+                      method_weights={"oldest": 1},
+                      compact_every=1000, compact_flip_rows=5)
+    eng.run(2, seed_urls=pages_gen.seed_urls())
+    assert any(e.get("op") == "compact" for e in eng.lake.frontier.versions())
+
+
 def _dir_bytes(path: str) -> int:
     return sum(p.stat().st_size for p in Path(path).rglob("*") if p.is_file())
 
