@@ -696,8 +696,14 @@ class CrawlEngine:
         fast_extension_crawler :4770-4902): candidates whose URL carries a
         mapped file extension are routed DIRECTLY — fetch bytes, sniff the
         actual type, record the extension↔route consistency verdict — with
-        no HTML extraction and no link discovery. One filter+route
-        DataFrame pipeline; selected rows are consumed via O(wave) flips."""
+        no HTML extraction and no link discovery for rows whose bytes match
+        the extension. Rows that SNIFF AS HTML despite a binary extension
+        (a .png URL serving a page) take the reference's fallback: the full
+        extraction + link-discovery path runs on them inside this pass
+        (reference falls back to get_page on content-type mismatch,
+        :4826-4860) — they must not be consumed without extraction
+        (round-2 advice). Selected rows are consumed via O(wave) flips;
+        discovered links commit as inserts in the same atomic wave."""
         spark = self.spark
         frontier_df = self._frontier()
         cand = (
@@ -723,14 +729,38 @@ class CrawlEngine:
             self._pages().join(F.broadcast(sel), on="url", how="inner")
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
-        )
+        ).cache()
+        fetched.count()  # populate before dependent jobs (broadcast races)
         missing = (
             sel.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
             .withColumn("html", F.lit(None).cast("binary"))
             .withColumn("content_type", F.lit(""))
             .withColumn("route", F.lit("missing"))
         )
-        crawled_all = self._build_crawled(fetched, None, missing, None, wave)
+
+        # mismatch fallback: html-sniffed rows get the full extraction path
+        html_pages = raw_links = None
+        html_rows_in = fetched.filter(F.col("route") == "html")
+        if html_rows_in.limit(1).count():
+            if self.extract_raw:
+                html_rows_in = html_rows_in.withColumn(
+                    "raw_webcontent",
+                    F.substring(
+                        sniff.decode_utf8_replace(F.col("html")), 1, config.MAX_WEBCONTENT_SIZE
+                    ),
+                )
+            html_pages = udfs.with_extraction(
+                html_rows_in, html_col="html", url_col="url"
+            ).drop("html").cache()
+            html_pages.count()
+            raw_links = html_pages.select(
+                F.col("url").alias("parent_url"),
+                F.col("host").alias("parent_host"),
+                "depth",
+                F.explode(udfs.resolve_links(F.col("url"), F.col("raw_links"))).alias("url"),
+            )
+
+        crawled_all = self._build_crawled(fetched, html_pages, missing, raw_links, wave)
         obs = Observation()
         crawled_all = crawled_all.observe(
             obs,
@@ -740,12 +770,41 @@ class CrawlEngine:
         self.lake.crawled.append(spark, crawled_all, meta={"wave": wave, "op": "fast_pass"})
         stats = _obs_get(obs, {"fetched_ok": 0, "consistent": 0})
 
+        # discovered links from fallback-extracted pages → same hygiene +
+        # seen-set pipeline as a normal wave, committed with the flips
+        insert_rows = None
+        links_new = 0
+        if raw_links is not None:
+            web_links = (
+                raw_links.filter(~F.col("url").rlike(_MAILTO_RX))
+                .select("url", (F.col("depth") + 1).alias("depth"))
+            )
+            hashed = with_host_salt(
+                self._dedupe_links(self._classify_links(web_links)),
+                buckets=config.HOST_SALT_BUCKETS,
+            ).withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+            insert_rows = (
+                seen.anti_join_seen(
+                    hashed, frontier_df, spark,
+                    blooms=self._bloom_rows if self.use_bloom else None,
+                )
+                .withColumn("visited", F.lit(False))
+                .withColumns(self._frontier_row_cols(wave))
+                .select(*FRONTIER_COLS)
+                .cache()
+            )
+            links_new = insert_rows.count()
+
         flips = sel.select("url_hash").withColumn("wave", F.lit(wave).cast("int"))
         self.lake.frontier.commit_wave(
-            inserts=None, flips=flips,
-            meta={"wave": wave, "op": "fast_pass", "adds_hashes": False},
+            inserts=insert_rows, flips=flips,
+            meta={"wave": wave, "op": "fast_pass",
+                  "adds_hashes": insert_rows is not None},
         )
         self._frontier_cur = self.lake.frontier.read(spark)
+        if insert_rows is not None:
+            self._bloom_update(insert_rows)
+            insert_rows.unpersist()
         now = datetime.now(timezone.utc)
         self.lake.wave_metrics.write_rows(
             [
@@ -756,14 +815,19 @@ class CrawlEngine:
                     ("urls_selected", n),
                     ("urls_fetched", int(stats["fetched_ok"])),
                     ("ext_consistent", int(stats["consistent"])),
+                    ("links_new", links_new),
                 )
             ],
             _METRICS_SCHEMA, meta={"wave": wave, "op": "fast_pass"},
         )
         sel.unpersist()
+        fetched.unpersist()
+        if html_pages is not None:
+            html_pages.unpersist()
         return {
             "wave": wave, "op": "fast_pass", "urls_selected": n,
-            "ext_consistent": int(stats["consistent"]), "done": False,
+            "ext_consistent": int(stats["consistent"]),
+            "links_new": links_new, "done": False,
         }
 
     # ------------------------------------------------------ cleanup pass

@@ -86,11 +86,20 @@ def sniff_content_type(html: Column, file_ext: Column) -> Column:
     # validates, and make_valid_utf8 replaces bad sequences with U+FFFD —
     # the reference's errors='replace' semantics, fully JVM-side.
     prefix_txt = F.ltrim(decode_utf8_replace(F.substring(html, 1, 256)))
-    sniffed = (
-        F.when(prefix_txt.startswith("<!DOCTYPE") | prefix_txt.startswith("<html")
-               | prefix_txt.startswith("<HTML"), "text/html")
-        .when(prefix_txt.startswith("{") | prefix_txt.startswith("["), "application/json")
+    # STRONG html markers outrank the URL extension: a .png URL serving a
+    # page that opens with <!DOCTYPE/<html IS html (the fast pass must
+    # detect the mismatch and fall back to full extraction — reference
+    # :4826-4860); weak signals ({, [, bare <) stay behind the extension.
+    strong_html = (
+        prefix_txt.startswith("<!DOCTYPE")
+        | prefix_txt.startswith("<html")
+        | prefix_txt.startswith("<HTML")
+    )
+    weak_sniffed = (
+        F.when(prefix_txt.startswith("{") | prefix_txt.startswith("["), "application/json")
         .when(prefix_txt.startswith("<"), "text/html")
         .otherwise("text/plain")
     )
-    return expr.otherwise(F.coalesce(by_ext, sniffed))
+    return expr.otherwise(
+        F.when(strong_html, "text/html").otherwise(F.coalesce(by_ext, weak_sniffed))
+    )

@@ -74,7 +74,7 @@ _COSINE = (
 import os as _os
 import tempfile as _tempfile
 
-_FIXTURE_PARQUET = _os.path.join(_tempfile.gettempdir(), "pwc_fixture_pages_v2.parquet")
+_FIXTURE_PARQUET = _os.path.join(_tempfile.gettempdir(), "pwc_fixture_pages_v3.parquet")
 
 # path → lower-cased extension, replicating sqlfns.file_extension on the
 # fixture's URL shapes (no %-escapes in fixture paths)
@@ -100,15 +100,16 @@ def _sniff_sql() -> str:
         for prefix, mime in _sniff._MAGIC
     )
     ext_mime = _case("ext", _sniff._EXT_MIME, default="NULL")
+    # strong html markers outrank the extension (mirrors sniff.py order)
     return f"""(CASE
         WHEN hx IS NULL OR hx = '' THEN ''
         {magic_whens}
         WHEN substring(hx, 9, 8) = '66747970' THEN 'video/mp4'
+        WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<!DOCTYPE')
+          OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<html')
+          OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<HTML') THEN 'text/html'
         ELSE coalesce({ext_mime},
             CASE
-              WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<!DOCTYPE')
-                OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<html')
-                OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<HTML') THEN 'text/html'
               WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '{{')
                 OR starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '[') THEN 'application/json'
               WHEN starts_with(ltrim(try_cast(unhex(substring(hx, 1, 504)) AS VARCHAR)), '<') THEN 'text/html'

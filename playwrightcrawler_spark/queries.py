@@ -377,7 +377,7 @@ def _fixture_pages(spark) -> str:
 
     # versioned name: the fixture content derives from the extraction
     # kernels, so a kernel change must invalidate the cached parquet
-    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages_v2.parquet")
+    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages_v3.parquet")
     if not os.path.exists(path):
         pages_gen.write_pages_fixture(path)
     return path

@@ -191,6 +191,16 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
     for u, kind in binaries:
         add(u, _BINARY_PAYLOADS[kind], is_html=False)
 
+    # lying extension the OTHER way: .png name over HTML bytes — the
+    # reference fast pass falls back to the full crawler (get_page) on a
+    # content-type mismatch (playwrightcrawler.py:4826-4860), so this page
+    # must still get extraction + link discovery in the fast pass
+    add(
+        "https://cdn.example.com/assets/page.png",
+        b"<html><body><p>disguised page words here</p>"
+        b'<a href="https://hidden.example.org/found.html">x</a></body></html>',
+    )
+
     # plain-text / JSON payloads (words extracted, not HTML-walked)
     add(
         "https://api.example.com/data.json",

@@ -134,7 +134,9 @@ def test_host_budgeted_fetch_group_bounded_at_scale(spark, pages_dir):
 
 def test_fast_extension_pass_engine(spark, pages_dir, tmp_path_factory):
     """X7/X8 end-to-end: extension-bearing candidates fetched + routed with
-    a consistency verdict, consumed via flips, no HTML extraction."""
+    a consistency verdict, consumed via flips, no HTML extraction — except
+    html-sniffed mismatches, which take the reference's full-crawler
+    fallback (extraction + link discovery) inside the pass."""
     from playwrightcrawler_spark.crawl.engine import CrawlEngine
 
     wh = tmp_path_factory.mktemp("wh_fast")
@@ -142,7 +144,8 @@ def test_fast_extension_pass_engine(spark, pages_dir, tmp_path_factory):
                       per_host_quota=5, method_weights={"oldest": 1})
     seeds = [
         "https://cdn.example.com/assets/logo.png",
-        "https://cdn.example.com/assets/fake.png",      # lying extension
+        "https://cdn.example.com/assets/fake.png",      # lying ext: pdf bytes
+        "https://cdn.example.com/assets/page.png",      # lying ext: HTML bytes
         "https://docs.example.com/manual.pdf",
         "https://media.example.com/clip.mp4",
         "https://dead.example.net/gone.pdf",            # not in pages
@@ -150,16 +153,26 @@ def test_fast_extension_pass_engine(spark, pages_dir, tmp_path_factory):
     ]
     eng.bootstrap(seeds)
     m = eng.run_fast_extension_pass(wave=1)
-    assert m["urls_selected"] == 5                      # everything but the html seed
+    assert m["urls_selected"] == 6                      # everything but the html seed
     crawled = {r.url: r for r in eng.lake.crawled.read(spark).collect()}
     assert crawled["https://cdn.example.com/assets/logo.png"].ext_consistent is True
     assert crawled["https://cdn.example.com/assets/fake.png"].ext_consistent is False
     assert crawled["https://cdn.example.com/assets/fake.png"].route == "pdf"
     assert crawled["https://dead.example.net/gone.pdf"].route == "missing"
     assert "https://seed0.example.org/" not in crawled  # never fast-routed
+    # the html-sniffed mismatch got REAL extraction + link discovery
+    page = crawled["https://cdn.example.com/assets/page.png"]
+    assert page.route == "html" and page.ext_consistent is False
+    assert "disguised page words here" in page.text
+    assert m["links_new"] >= 1
     fr = {r.url: r for r in eng.lake.frontier.read(spark).collect()}
     assert fr["https://cdn.example.com/assets/logo.png"].visited
+    assert fr["https://cdn.example.com/assets/page.png"].visited
     assert not fr["https://seed0.example.org/"].visited
+    # the discovered link entered the frontier unvisited
+    assert not fr["https://hidden.example.org/found.html"].visited
     # everything (incl. the dead URL) was consumed: second pass is empty
+    # (.html is unmapped in EXTENSION_ROUTE, so found.html is never a
+    # fast-pass candidate)
     m2 = eng.run_fast_extension_pass(wave=2)
     assert m2["urls_selected"] == 0 and m2["done"]
