@@ -872,12 +872,15 @@ class CrawlEngine:
         2× the wave's bytes. The enrichment projection is applied ONCE to
         the union so whole-stage codegen stays under the method-size
         limit."""
-        # replacement-decode, never strict: an invalid-UTF-8 text payload
-        # must yield U+FFFD (reference chardet/replace path), not abort the
-        # whole wave write under ANSI MALFORMED_CHARACTER_CODING
-        plain_text = F.when(
-            F.col("route") == "plain_text",
-            F.substring(sniff.decode_utf8_replace(F.col("html")), 1, config.MAX_WEBCONTENT_SIZE),
+        # charset-ladder decode (X5): strict-UTF-8 fast path, then BOM/meta
+        # charset/detector — the reference chardet-decodes every text body
+        # (playwrightcrawler.py:5091-5097), so a Latin-1 page must yield
+        # its decoded text, not U+FFFD runs; never strict-only (an invalid
+        # payload would abort the wave under ANSI). The html column is
+        # when()-guarded so only plain-text rows cross the Arrow boundary.
+        plain_text = F.substring(
+            udfs.decode_text(F.when(F.col("route") == "plain_text", F.col("html"))),
+            1, config.MAX_WEBCONTENT_SIZE,
         )
 
         def shape(df, text_col, words_col, od_col, od_pat_col, source_col):

@@ -97,6 +97,17 @@ def extract_text(html: pd.Series) -> pd.Series:
     return html.map(textextract.extract_text, na_action="ignore").fillna("")
 
 
+@pandas_udf(T.StringType())
+def decode_text(raw: pd.Series) -> pd.Series:
+    """Charset-ladder decode for text payloads (X5; reference
+    handle_response chardet path, playwrightcrawler.py:5091-5097). Feed a
+    when()-guarded column so only text-route rows' bytes cross the Arrow
+    boundary — python UDFs are not short-circuited by F.when."""
+    return raw.map(
+        lambda b: textextract.detect_decode(bytes(b)), na_action="ignore"
+    )
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_links(html: pd.Series) -> pd.Series:
     """Raw hrefs/srcs from a/link/script/img (E4 harvest)."""

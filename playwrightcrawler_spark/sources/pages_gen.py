@@ -222,6 +222,17 @@ def generate_rows(n_extra_hosts: int = 20, seed: int = 42) -> list[dict]:
     assert noext_body[255] == 0xC3 and noext_body[256] == 0xA9  # é straddles the cut
     add("https://text.example.com/noext", noext_body + b"mots " * 20, is_html=False)
 
+    # non-UTF-8 pages (X5 charset ladder; reference chardet path): a
+    # cp1252 html page with a declared meta charset, and a Shift-JIS text
+    # file only the detector rung can catch
+    latin1_html = (
+        '<html><head><meta charset="windows-1252"></head>'
+        "<body><p>déjà vu français à côté</p></body></html>"
+    ).encode("cp1252")
+    add("https://intl.example.com/latin1.html", latin1_html)
+    add("https://intl.example.com/sjis.txt",
+        "こんにちは世界、テスト".encode("shift_jis"), is_html=False)
+
     # robots.txt rows (north_rule compliance; never linked — the engine
     # finds them by scanning the pages table for /robots.txt paths)
     add(

@@ -153,28 +153,41 @@ def test_resume_identical(spark, pages_dir, tmp_path_factory):
 
 
 def test_invalid_utf8_and_noext_pages_survive_decode(spark, pages_dir, tmp_path_factory):
-    """ANSI-mode decode hardening: a reachable invalid-UTF-8 plain-text page
-    and an extensionless page whose 256-byte sniff prefix splits a multibyte
-    char must be crawled (replacement semantics), not abort the wave."""
+    """X5 decode parity: non-UTF-8 text bodies take the reference's
+    chardet-style charset ladder (BOM → meta charset → detector), so a
+    Latin-1 or Shift-JIS page yields its decoded text instead of U+FFFD
+    runs; the extensionless page whose 256-byte sniff prefix splits a
+    multibyte char must still be crawled (never abort under ANSI)."""
     wh = tmp_path_factory.mktemp("wh_decode")
     eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=500, per_host_quota=50,
                       method_weights={"oldest": 1})
-    eng.run(2, seed_urls=pages_gen.seed_urls())
+    eng.run(2, seed_urls=pages_gen.seed_urls() + [
+        "https://intl.example.com/latin1.html",
+        "https://intl.example.com/sjis.txt",
+    ])
     rows = {
         r.url: r
         for r in eng.lake.crawled.read(spark)
         .filter(F.col("url").isin(
             "https://broken.example.com/latin.txt",
             "https://text.example.com/noext",
+            "https://intl.example.com/latin1.html",
+            "https://intl.example.com/sjis.txt",
         ))
         .collect()
     }
     broken = rows["https://broken.example.com/latin.txt"]
     assert broken.route == "plain_text"
-    assert broken.text == "caf� broken bytes"  # errors='replace' parity
+    assert broken.text == "café broken bytes"        # detector rung (chardet parity)
     noext = rows["https://text.example.com/noext"]
     assert noext.route == "plain_text"               # sniff survived the split char
     assert "français" in noext.text and "�" not in noext.text
+    latin1 = rows["https://intl.example.com/latin1.html"]
+    assert latin1.route == "html"
+    assert latin1.text == "déjà vu français à côté"  # declared-charset rung
+    sjis = rows["https://intl.example.com/sjis.txt"]
+    assert sjis.route == "plain_text"
+    assert sjis.text == "こんにちは世界、テスト"      # detector rung
 
 
 def test_robots_denied_marked_visited_not_reselected(spark, pages_dir, tmp_path_factory):
