@@ -1,24 +1,37 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata.
 
-The decode step itself is STUBBED — Pillow/ffmpeg are not in this
-container (reference analogue: content_type_images, playwrightcrawler.py:
-3771-3939, which needs PIL). What IS real and tested here is everything
-Spark-side: schemas, the mapInPandas batch shape, partition sizing, and a
-deterministic fallback "decoder" so the pipeline runs end-to-end. On a
-real cluster you flip ``decoder=`` to a PIL/ffmpeg callable and nothing
-else changes.
+The decode mirrors the reference image handler (content_type_images,
+playwrightcrawler.py:3771-3939): Pillow decode, mode normalization
+(CMYK→RGB, palette+transparency→RGBA), resolution = width*height, a
+sha512-of-pixels filename, the per-image error taxonomy
+(unidentified_image_error / decompression_bomb_error / oserror) and an
+optional NSFW-probability hook (``isnsfw``). PIL is import-guarded exactly
+like bs4 in ``textextract`` — on a production cluster with Pillow
+installed the REAL decoder runs with zero code change; in this sandbox
+(no PIL) ``real_decode`` degrades row-wise to ``decoder_unavailable`` and
+tests use the deterministic ``fake_decode``. Everything Spark-side —
+schemas, the mapInPandas batch shape, partition sizing — is real and
+tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image, UnidentifiedImageError  # type: ignore
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
@@ -28,24 +41,54 @@ MEDIA_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("resolution", T.LongType()),
+    T.StructField("mode", T.StringType()),
+    T.StructField("filename", T.StringType()),
+    T.StructField("isnsfw", T.DoubleType()),
     T.StructField("decode_ok", T.BooleanType()),
     T.StructField("decode_error", T.StringType()),
 ])
 
+# exception → the reference's source-tag taxonomy (:3898-3930)
+_ERROR_TAXONOMY = {
+    "UnidentifiedImageError": "unidentified_image_error",
+    "DecompressionBombError": "decompression_bomb_error",
+    "OSError": "oserror",
+}
 
-def real_decode(payload: bytes) -> tuple[int, int]:
-    """The production decode hook. Requires PIL — not available here."""
-    raise NotImplementedError(
-        "image decode requires Pillow; not installed in this sandbox. "
-        "Pass decoder=fake_decode for the deterministic test path."
-    )
+
+def real_decode(payload: bytes) -> dict:
+    """Pillow decode with the reference's normalization (:3849-3864):
+    CMYK→RGB, palette-with-transparency→RGBA, sha512(pixels) filename.
+    Returns {width, height, mode, filename, image}; raises
+    NotImplementedError when Pillow is absent (this sandbox)."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires Pillow; not installed in this sandbox. "
+            "Pass decoder=fake_decode for the deterministic test path."
+        )
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    if img.mode == "CMYK":
+        img = img.convert("RGB")
+    if img.mode == "P" and "transparency" in img.info:
+        img = img.convert("RGBA")
+    filename = hashlib.sha512(img.tobytes()).hexdigest() + ".png"
+    return {"width": width, "height": height, "mode": img.mode,
+            "filename": filename, "image": img}
 
 
-def fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in: derives a stable (width, height) from the
-    payload hash so tests exercise the full plumbing repeatably."""
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in: stable (width, height) from the payload hash
+    so tests exercise the full plumbing repeatably; filename hashes the raw
+    payload (no pixel buffer without a real decoder)."""
     h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 64, 16 + h[1] % 64
+    return {
+        "width": 16 + h[0] % 64,
+        "height": 16 + h[1] % 64,
+        "mode": "RGB",
+        "filename": hashlib.sha512(payload).hexdigest() + ".png",
+        "image": None,
+    }
 
 
 def extract_media_metadata(
@@ -53,11 +96,17 @@ def extract_media_metadata(
     url_col: str = "url",
     bin_col: str = "html",
     media_type: str = "image",
-    decoder: Callable[[bytes], tuple[int, int]] = real_decode,
+    decoder: Callable[[bytes], dict] = real_decode,
+    nsfw_scorer: Callable[[dict], float] | None = None,
+    min_nsfw_res: int = 0,
 ) -> DataFrame:
     """mapInPandas over (url, payload): hashes + byte counts always; width/
-    height via the decode hook, errors captured per-row not per-task (the
-    reference's per-image error taxonomy, :3896-3930)."""
+    height/mode/filename via the decode hook, errors captured per-row not
+    per-task with the reference's taxonomy (:3896-3930). ``nsfw_scorer``
+    is the ``isnsfw`` seam (reference opennsfw2 hook, :3866-3881): it
+    receives the decoded dict and returns a probability; skipped (NULL)
+    when absent, when decode fails, or below ``min_nsfw_res`` pixels —
+    mirroring the reference's MIN_NSFW_RES gate."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,16 +121,26 @@ def extract_media_metadata(
                     "width": None,
                     "height": None,
                     "resolution": None,
+                    "mode": None,
+                    "filename": None,
+                    "isnsfw": None,
                     "decode_ok": False,
                     "decode_error": None,
                 }
                 try:
-                    w, h = decoder(payload)
-                    meta.update(width=w, height=h, resolution=w * h, decode_ok=True)
-                except NotImplementedError as e:
+                    d = decoder(payload)
+                    res = d["width"] * d["height"]
+                    meta.update(
+                        width=d["width"], height=d["height"], resolution=res,
+                        mode=d["mode"], filename=d["filename"], decode_ok=True,
+                    )
+                    if nsfw_scorer is not None and res > min_nsfw_res:
+                        meta["isnsfw"] = float(nsfw_scorer(d))
+                except NotImplementedError:
                     meta["decode_error"] = "decoder_unavailable"
                 except Exception as e:  # corrupt payloads must not kill tasks
-                    meta["decode_error"] = type(e).__name__
+                    name = type(e).__name__
+                    meta["decode_error"] = _ERROR_TAXONOMY.get(name, name)
                 rows.append(meta)
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
 

@@ -139,10 +139,35 @@ def test_multimodal_metadata(spark, pages_dir):
     for r in rows:
         assert r.decode_ok and r.resolution == r.width * r.height
         assert len(r.sha256) == 64 and r.n_bytes > 0
+        assert r.mode == "RGB" and r.filename.endswith(".png")
+        assert len(r.filename) == 128 + 4                 # sha512 hex + .png
+        assert r.isnsfw is None                           # no scorer attached
+
+
+def test_multimodal_nsfw_seam(spark, pages_dir):
+    """The isnsfw hook (reference opennsfw2 seam): scorer output lands in
+    the column, gated on decode success and the min-resolution threshold."""
+    pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.(png|jpg)$"))
+    meta = multimodal.extract_media_metadata(
+        pages, bin_col="html", decoder=multimodal.fake_decode,
+        nsfw_scorer=lambda d: 0.25, min_nsfw_res=0,
+    )
+    rows = meta.collect()
+    assert rows and all(r.isnsfw == 0.25 for r in rows if r.decode_ok)
+    # below the resolution gate: never scored (reference MIN_NSFW_RES)
+    meta_hi = multimodal.extract_media_metadata(
+        pages, bin_col="html", decoder=multimodal.fake_decode,
+        nsfw_scorer=lambda d: 0.25, min_nsfw_res=10**9,
+    )
+    assert all(r.isnsfw is None for r in meta_hi.collect())
 
 
 def test_multimodal_decoder_unavailable(spark, pages_dir):
-    """The real-decode stub must degrade row-wise, not kill tasks."""
+    """The real-decode path must degrade row-wise, not kill tasks."""
+    import pytest as _pytest
+
+    if multimodal._HAVE_PIL:
+        _pytest.skip("Pillow installed: real decode path active")
     pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.png$")).limit(2)
     meta = multimodal.extract_media_metadata(pages, bin_col="html")  # real_decode
     rows = meta.collect()
@@ -150,3 +175,24 @@ def test_multimodal_decoder_unavailable(spark, pages_dir):
         (not r.decode_ok) and r.decode_error == "decoder_unavailable" for r in rows
     )
     assert all(r.sha256 for r in rows)  # hash/bytes plumbing still ran
+
+
+def test_multimodal_real_decode_with_pil(spark, pages_dir):
+    """Runs only where Pillow exists (production cluster): real dimensions,
+    normalized mode, sha512-of-pixels filename, reference error taxonomy
+    on corrupt payloads."""
+    import pytest as _pytest
+
+    if not multimodal._HAVE_PIL:
+        _pytest.skip("Pillow not installed in this sandbox")
+    pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.(png|jpg|gif)$"))
+    rows = multimodal.extract_media_metadata(pages, bin_col="html").collect()
+    ok = [r for r in rows if r.decode_ok]
+    bad = [r for r in rows if not r.decode_ok]
+    # fixture payloads are magic-byte prefixes, not valid images — they
+    # must land in the reference taxonomy, never kill the task
+    assert all(r.decode_error in
+               ("unidentified_image_error", "decompression_bomb_error", "oserror")
+               for r in bad)
+    for r in ok:
+        assert r.resolution == r.width * r.height and r.filename.endswith(".png")
