@@ -107,3 +107,33 @@ def test_weighted_select_seeded_and_filtered(spark, cand):
     assert m1 == m2
     assert [r.url for r in df1.collect()] == [r.url for r in df2.collect()]
     assert df1.filter(F.col("host") == "www.gstatic.com").count() == 0
+
+
+def test_default_weights_reach_priority_queue(spark, pages_dir, tmp_path_factory):
+    """config.METHOD_WEIGHTS ships the north_rule priority queue: the
+    DEFAULT-config engine's seeded schedule selects it with no custom
+    constructor arg, and the recorded per-wave method sequence equals the
+    seeded weighted-choice schedule (crawl-ordering equivalence at the
+    strategy-schedule level; the priority policy's row-level ordering is
+    pinned by the equivalence_robots variant)."""
+    import random
+
+    from playwrightcrawler_spark import config as cfg
+    from playwrightcrawler_spark.crawl.engine import CrawlEngine
+    from playwrightcrawler_spark.sources import pages_gen
+
+    assert cfg.METHOD_WEIGHTS.get("priority", 0) > 0
+    names = list(cfg.METHOD_WEIGHTS)
+    wts = [cfg.METHOD_WEIGHTS[n] for n in names]
+
+    def sched(w, seed=42):                 # engine: Random(seed + wave)
+        return random.Random(seed + w).choices(names, weights=wts, k=1)[0]
+
+    # crawl waves start at 1 (bootstrap commits wave 0)
+    first = next(w for w in range(1, 200) if sched(w) == "priority")
+    wh = tmp_path_factory.mktemp("wh_default_weights")
+    eng = CrawlEngine(spark, pages_dir, str(wh), wave_size=20)  # all defaults
+    out = eng.run(first, seed_urls=pages_gen.seed_urls())
+    methods = [m["method"] for m in out if "method" in m]
+    assert methods == [sched(w) for w in range(1, len(methods) + 1)]
+    assert "priority" in methods
