@@ -140,7 +140,11 @@ def run_crawl_bench(cpus: int) -> dict:
     }
 
 
-def run_headline_queries() -> tuple[dict, float]:
+def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float]]:
+    """Per-query seconds = min across ``passes`` repeats in one session
+    (interference only slows runs, so the min is the least-contaminated
+    sample — same protocol as the crawl/scaling sections, round-2 verdict);
+    per-pass totals are returned for transparency."""
     import __spark_entry__ as entrymod
     from playwrightcrawler_spark.session import get_spark
 
@@ -148,16 +152,25 @@ def run_headline_queries() -> tuple[dict, float]:
                       shuffle_partitions=max(CPUS, 8))
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     # warm the JVM/parquet footers once, untimed
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qmap[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+    for p in range(passes):
+        if p:
+            _idle_gate(max_wait=60)
+        ptotal = 0.0
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qmap[name](spark, SF_DIR)
+            df.count()
+            dt = round(time.time() - t0, 3)
+            ptotal += dt
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+        pass_totals.append(round(ptotal, 3))
     total = round(sum(timings.values()), 3)
     spark.stop()
-    return timings, total
+    return timings, total, pass_totals
 
 
 def _history(result: dict) -> list[dict]:
@@ -216,6 +229,11 @@ def write_baseline_md(result: dict) -> None:
         f"{result['crawl']['urls_per_sec']} urls/s "
         f"({result['crawl']['urls_fetched']} urls in {result['crawl']['seconds']} s) |",
     ]
+    if result.get("crawl_median_urls_per_sec") is not None:
+        lines += [
+            f"| crawl+extract throughput @ local[{result['crawl']['cpus']}], "
+            f"median of K | {result['crawl_median_urls_per_sec']} urls/s |",
+        ]
     if s:
         lines += [
             f"| crawl+extract throughput @ local[{s['high']['cpus']}] (scaling pair high) | "
@@ -225,8 +243,10 @@ def write_baseline_md(result: dict) -> None:
             f"{s['low']['urls_per_sec']} urls/s "
             f"({s['low']['urls_fetched']} urls in {s['low']['seconds']} s) |",
             f"| scaling efficiency N={s['low']['cpus']} → 4N={s['high']['cpus']}: "
-            f"(rate_4N/rate_N)/{s['factor']} | "
+            f"(rate_4N/rate_N)/{s['factor']}, best-of-K | "
             f"**{s['efficiency']}** (target >= 0.8, north_rule) |",
+            f"| scaling efficiency, median-of-K (bias check, round-2 advice) | "
+            f"{s.get('efficiency_median')} |",
         ]
     if best_eff is not None:
         lines += [
@@ -243,17 +263,20 @@ def write_baseline_md(result: dict) -> None:
         "Per-query seconds: "
         + ", ".join(f"{k}={v}" for k, v in result["queries"].items()),
         "",
-        "Method: the same crawl job on the same input at two parallelism",
-        "levels in separate JVMs pinned with taskset to exactly N and 4N",
-        f"CPUs (local[{SCALE_LOW}] vs local[{SCALE_HIGH}]); every pinned run is idle-gated on the",
-        "1-min loadavg, two full pairs run first, then up to three extra",
-        "HIGH-side samples when efficiency is under target (the low run is",
-        "empirically load-immune — interference spreads over the unpinned",
-        "cores — while the pinned high run absorbs every burst). Best",
-        "sample per level counts; all attempts + pre-run loads are in the",
-        "JSON 'scaling.attempts'. This is the sandbox evidence protocol",
-        "for the N→4N executor criterion (BASELINE.md row 'sandbox",
-        "evidence').",
+        "Method: ONE protocol for every timed section — the official",
+        f"local[{CPUS}] throughput, the scaling pair, and the headline",
+        "queries. Each crawl sample runs in a fresh JVM with the whole",
+        "process tree taskset-pinned to exactly its CPU count, idle-gated",
+        "on the pre-run 1-min loadavg; a FIXED K samples per level (env",
+        "SPARK_GRAFT_BENCH_K, default 3) interleaved round-robin across",
+        "levels so one interference burst cannot contaminate a whole",
+        "level. Best-of-K is the headline (interference only slows runs);",
+        "median-of-K is reported alongside as the bias check (round-2",
+        "advice — no adaptive stop-at-pass resampling). Headline queries:",
+        "3 passes in one session, per-query minimum, per-pass totals",
+        "recorded. All attempts + pre-run loads are in the JSON",
+        "'scaling.attempts'. This is the sandbox evidence protocol for",
+        "the N→4N executor criterion (BASELINE.md row 'sandbox evidence').",
         "",
         "## Notes",
         "",
@@ -296,10 +319,61 @@ def main() -> None:
         print(json.dumps(run_crawl_bench(args.cpus)))
         return
 
+    # ONE measurement protocol for every timed section (round-2 verdict:
+    # the official metric deserves the same rigor as the scaling pair):
+    # fresh JVM per run, taskset-pinned process tree, idle-gated on the
+    # pre-run 1-min loadavg, fixed K samples per configuration (symmetric —
+    # no adaptive stop-at-pass resampling, round-2 advice), best-of-K kept
+    # (interference only slows runs), every attempt + pre-run load logged.
+    K = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
+    runs: dict[int, list[dict]] = {}
+    attempts: list[dict] = []
+    scaling_error = None
+
+    def _one(c: int) -> bool:
+        nonlocal scaling_error
+        load = _idle_gate()
+        # taskset pins the WHOLE process tree (JVM + python workers) to
+        # exactly c CPUs: local[c] alone only caps JVM task slots, and the
+        # out-of-process python workers would otherwise use extra cores
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{c - 1}",
+             sys.executable, __file__, "--crawl-only", "--cpus", str(c)],
+            capture_output=True, text=True, cwd=str(REPO),
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
+        )
+        try:
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (json.JSONDecodeError, IndexError):
+            scaling_error = proc.stderr[-500:]
+            return False
+        r["load_1m_before"] = round(load, 2)
+        attempts.append({k: r.get(k) for k in ("cpus", "urls_per_sec", "seconds", "load_1m_before")})
+        runs.setdefault(c, []).append(r)
+        return True
+
+    def _best(c: int) -> dict | None:
+        return max(runs.get(c, []), key=lambda r: r["urls_per_sec"], default=None)
+
+    def _median_rate(c: int) -> float | None:
+        rs = sorted(r["urls_per_sec"] for r in runs.get(c, []))
+        return rs[len(rs) // 2] if rs else None
+
+    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
+    levels = [CPUS] if fast else [CPUS, SCALE_HIGH, SCALE_LOW]
+    rounds = 1 if fast else K
+    # interleave levels round-robin so a long interference burst cannot
+    # contaminate every sample of one level
+    for _ in range(rounds):
+        for c in levels:
+            _one(c)
+
+    crawl = _best(CPUS)
+    if crawl is None:
+        sys.stderr.write(f"crawl bench failed: {scaling_error}\n")
+        sys.exit(1)
     _idle_gate()
-    crawl = run_crawl_bench(args.cpus)
-    _idle_gate()
-    queries, total = run_headline_queries()
+    queries, total, pass_totals = run_headline_queries()
 
     result = {
         "metric": "urls_crawled_extracted_per_sec",
@@ -308,76 +382,26 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "headline_total_sec": total,
+        "headline_pass_totals": pass_totals,
         "crawl": crawl,
+        "crawl_median_urls_per_sec": _median_rate(CPUS),
     }
 
-    if os.environ.get("SPARK_GRAFT_BENCH_FAST") != "1":
-        # N → 4N evidence: the same job, same input, in fresh JVMs at
-        # local[SCALE_LOW] and local[SCALE_HIGH]. Best-of-K per level: the
-        # sandbox host carries bursty external interference (identical runs
-        # vary up to 2x) that only SLOWS runs, so the max per level is the
-        # least-contaminated sample. Each run is idle-gated (the 1-min
-        # loadavg must decay below the threshold — it includes our own
-        # just-finished subprocess) and the pair loop adaptively adds up to
-        # two extra pairs when the measured efficiency is still below the
-        # 0.8 target, which distinguishes 'host was busy' from 'engine
-        # does not scale'.
-        runs: dict | None = {}
+    if not fast and SCALE_LOW in runs and SCALE_HIGH in runs:
         factor = SCALE_HIGH / SCALE_LOW
-
-        def _efficiency() -> float | None:
-            if SCALE_LOW not in runs or SCALE_HIGH not in runs:
-                return None
-            lo = runs[SCALE_LOW]["urls_per_sec"]
-            return round(runs[SCALE_HIGH]["urls_per_sec"] / lo / factor, 3) if lo else None
-
-        attempts: list[dict] = []
-
-        def _one(c: int) -> bool:
-            nonlocal runs
-            load = _idle_gate()
-            # taskset pins the WHOLE process tree (JVM + python workers)
-            # to exactly c CPUs: local[c] alone only caps JVM task slots,
-            # and the out-of-process python workers would otherwise give
-            # the low-parallelism run extra cores, understating scaling
-            proc = subprocess.run(
-                ["taskset", "-c", f"0-{c - 1}",
-                 sys.executable, __file__, "--crawl-only", "--cpus", str(c)],
-                capture_output=True, text=True, cwd=str(REPO),
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
-            )
-            try:
-                r = json.loads(proc.stdout.strip().splitlines()[-1])
-            except (json.JSONDecodeError, IndexError):
-                result["scaling_error"] = proc.stderr[-500:]
-                runs = None
-                return False
-            r["load_1m_before"] = round(load, 2)
-            attempts.append({k: r.get(k) for k in ("cpus", "urls_per_sec", "seconds", "load_1m_before")})
-            if c not in runs or r["urls_per_sec"] > runs[c]["urls_per_sec"]:
-                runs[c] = r
-            return True
-
-        # two full pairs, then up to three HIGH-only retries: the low run
-        # is empirically stable (interference spreads over the 30 unpinned
-        # cores), while the pinned high run absorbs every burst — so when
-        # the efficiency misses, extra high samples are where the signal is
-        ok = all(_one(c) for c in (SCALE_HIGH, SCALE_LOW, SCALE_HIGH, SCALE_LOW))
-        if ok:
-            for _ in range(3):
-                eff = _efficiency()
-                if eff is not None and eff >= 0.8:
-                    break
-                if not _one(SCALE_HIGH):
-                    break
-        if runs:
-            result["scaling"] = {
-                "low": runs[SCALE_LOW],
-                "high": runs[SCALE_HIGH],
-                "factor": factor,
-                "efficiency": _efficiency(),
-                "attempts": attempts,
-            }
+        lo_best, hi_best = _best(SCALE_LOW), _best(SCALE_HIGH)
+        lo_med, hi_med = _median_rate(SCALE_LOW), _median_rate(SCALE_HIGH)
+        result["scaling"] = {
+            "low": lo_best,
+            "high": hi_best,
+            "factor": factor,
+            "efficiency": round(hi_best["urls_per_sec"] / lo_best["urls_per_sec"] / factor, 3)
+            if lo_best["urls_per_sec"] else None,
+            "efficiency_median": round(hi_med / lo_med / factor, 3) if lo_med else None,
+            "attempts": attempts,
+        }
+    elif scaling_error:
+        result["scaling_error"] = scaling_error
 
     write_baseline_md(result)
     print(json.dumps(result))
