@@ -78,13 +78,15 @@ def real_decode(payload: bytes) -> dict:
 
 
 def fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in: stable (width, height) from the payload hash
-    so tests exercise the full plumbing repeatably; filename hashes the raw
-    payload (no pixel buffer without a real decoder)."""
-    h = hashlib.sha256(payload).digest()
+    """Deterministic stand-in: stable (width, height) from the first two
+    payload bytes so tests AND the DuckDB oracle can recompute them
+    independently; filename hashes the raw payload (no pixel buffer
+    without a real decoder)."""
+    b0 = payload[0] if payload else 0
+    b1 = payload[1] if len(payload) > 1 else 0
     return {
-        "width": 16 + h[0] % 64,
-        "height": 16 + h[1] % 64,
+        "width": 16 + b0 % 64,
+        "height": 16 + b1 % 64,
         "mode": "RGB",
         "filename": hashlib.sha512(payload).hexdigest() + ".png",
         "image": None,

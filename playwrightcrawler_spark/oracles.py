@@ -148,6 +148,51 @@ def _fast_ext_oracle() -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """Full independent SQL recomputation of the 64-bit md5 SimHash: token
+    md5-prefix hashes, per-bit ±1 votes over ALL occurrences, 16-bit-chunk
+    banding, xor/bit_count hamming — no Spark kernel shared."""
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    # literal power-of-two constants: DuckDB's << overflows at bit 63
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    chunk_list = ", ".join(
+        f"'c{i}:' || CAST((sim >> {16 * i}) & 65535 AS VARCHAR)" for i in range(4)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base
+        ),
+        tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS hv
+            FROM tok
+        ),
+        votes AS (SELECT doc_id, {vote_cols} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sim_terms} AS sim FROM votes),
+        chunks AS (
+            SELECT doc_id, sim, unnest([{chunk_list}]) AS chunk FROM sig
+        ),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(bit_count(xor(l.sim, r.sim)) AS BIGINT) AS hamming
+            FROM chunks l JOIN chunks r USING (chunk)
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 ORACLES: dict[str, str] = {
     # ----------------------------------------------------------- relational
     "pricing_summary": """
@@ -452,6 +497,30 @@ ORACLES: dict[str, str] = {
                     WHEN html IS NULL THEN 'missing'
                     ELSE 'downloaded' END AS status
         FROM j
+    """,
+    "simhash_candidates": _simhash_oracle(),
+    # multimodal plumbing with the deterministic fake decoder: width/height
+    # derive from the first two payload bytes, recomputed here from the
+    # hex dump; sha256/sha512-filename columns are excluded (DuckDB hashes
+    # VARCHAR only) and are pinned by pytest instead
+    "media_metadata": f"""
+        WITH m AS (
+            SELECT url, html, hex(html) AS hx
+            FROM read_parquet('{_FIXTURE_PARQUET}')
+            WHERE regexp_matches(url, '\\.(png|jpg|gif|mp4|mp3)$')
+        )
+        SELECT url,
+               'image' AS media_type,
+               CAST(octet_length(html) AS BIGINT) AS n_bytes,
+               CAST(16 + ('0x' || substring(hx, 1, 2))::INT % 64 AS INT) AS width,
+               CAST(16 + ('0x' || substring(hx, 3, 2))::INT % 64 AS INT) AS height,
+               CAST((16 + ('0x' || substring(hx, 1, 2))::INT % 64)
+                    * (16 + ('0x' || substring(hx, 3, 2))::INT % 64) AS BIGINT) AS resolution,
+               'RGB' AS mode,
+               CAST(NULL AS DOUBLE) AS isnsfw,
+               TRUE AS decode_ok,
+               CAST(NULL AS VARCHAR) AS decode_error
+        FROM m ORDER BY url
     """,
     # E1 invariant reduced to one row: n_pages counted independently from
     # the fixture; mismatches pinned to 0 = the byte-identical contract

@@ -288,12 +288,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash_candidates(spark, sf_dir):
-    """[dedup:simhash] (rows-only: 64-bit vote hash is a pandas UDF,
-    not SQL-expressible)."""
+    """[dedup:simhash] md5-derived 64-bit SimHash + 16-bit-chunk banding.
+    Oracle: DuckDB recomputes the whole pipeline — token md5-prefix
+    hashes, per-bit vote sums, chunk join, xor/bit_count hamming —
+    independently in SQL."""
     both = _docs_with_copies(spark, sf_dir).filter(
         (F.col("doc_id") < 100) | ((F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 1_000_100))
     )
-    return dedup.simhash_candidates(both).filter(F.col("hamming") <= 3).orderBy("id_a", "id_b")
+    return (
+        dedup.simhash_candidates(both)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -493,13 +499,16 @@ def q_pages_extract(spark, sf_dir):
 
 
 def q_media_metadata(spark, sf_dir):
-    """[multimodal] binary → typed metadata via mapInPandas (decode stub:
-    deterministic fake decoder; plumbing is real)."""
+    """[multimodal] binary → typed metadata via mapInPandas (deterministic
+    fake decoder; Spark plumbing is real and identical to the PIL path).
+    Oracle: DuckDB recomputes hashes/dimensions from payload bytes. The
+    sha512 ``filename`` column is projected out here (DuckDB lacks
+    sha512); it is pinned by the pytest multimodal suite instead."""
     pages = spark.read.parquet(_fixture_pages(spark))
     media = pages.filter(F.col("url").rlike(r"\.(png|jpg|gif|mp4|mp3)$"))
     return multimodal.extract_media_metadata(
         media, bin_col="html", decoder=multimodal.fake_decode
-    ).orderBy("url")
+    ).drop("filename", "sha256")
 
 
 QUERIES = {
