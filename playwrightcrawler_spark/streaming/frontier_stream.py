@@ -93,3 +93,71 @@ def start_frontier_ingest(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful politeness gate (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_GATE_OUT_SCHEMA = "url string, host string, emitted_in_batch int"
+_GATE_STATE_SCHEMA = "pending array<string>, dropped long"
+
+
+def start_politeness_gate(
+    spark: SparkSession,
+    folder: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    quota_per_trigger: int = 1,
+    max_pending: int = 1000,
+):
+    """Streaming per-host politeness: at most ``quota_per_trigger`` URLs
+    per host are released per micro-batch; the overflow is CARRIED in
+    per-host state (bounded at ``max_pending`` — beyond that the oldest
+    overflow is counted in ``dropped``, never silently lost) and released
+    by later triggers even if no new links arrive for that host.
+
+    This is the reference's per-host asyncio.Lock/serial-fetch semantics
+    (downloader.py:256-264) as a custom stateful streaming operator:
+    ``groupBy(host).applyInPandasWithState`` keeps one small state row per
+    host — the standard Spark pattern for operators the built-in windowed
+    aggs can't express. State is per-host and bounded, so 10^8 hosts cost
+    O(hosts) state, independent of frontier size."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def gate(key, pdf_iter, state):
+        import pandas as pd
+
+        (host,) = key
+        pending, dropped = state.get if state.exists else ([], 0)
+        pending = list(pending)
+        for pdf in pdf_iter:
+            pending.extend(pdf["url"].tolist())
+        if len(pending) > max_pending:
+            dropped += len(pending) - max_pending
+            pending = pending[: max_pending]
+        release, pending = pending[:quota_per_trigger], pending[quota_per_trigger:]
+        state.update((pending, dropped))
+        if pending:
+            # a processing-time timeout re-invokes this host next trigger
+            # even with no new input, so carried URLs always drain
+            state.setTimeoutDuration(500)
+        if release:
+            yield pd.DataFrame({
+                "url": release,
+                "host": [host] * len(release),
+                "emitted_in_batch": [len(release)] * len(release),
+            })
+
+    cleaned = clean_links(streaming_links(spark, folder))
+    gated = cleaned.groupBy("host").applyInPandasWithState(
+        gate, _GATE_OUT_SCHEMA, _GATE_STATE_SCHEMA,
+        "append", GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )

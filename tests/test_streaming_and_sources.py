@@ -52,6 +52,54 @@ def test_streaming_frontier_ingest(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_politeness_gate(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState): at
+    most quota URLs per host per micro-batch, the overflow carried in
+    bounded per-host state and released by LATER triggers — even with no
+    new input for that host."""
+    import glob
+
+    from playwrightcrawler_spark.streaming.frontier_stream import start_politeness_gate
+
+    links_dir = tmp_path / "links"
+    out_dir = tmp_path / "out"
+    links_dir.mkdir()
+    (links_dir / "b1.txt").write_text(
+        "https://h1.example/a\n"
+        "https://h1.example/b\n"
+        "https://h1.example/c\n"
+        "https://h2.example/x\n"
+    )
+    q = start_politeness_gate(
+        spark, str(links_dir), str(out_dir), str(tmp_path / "ckpt_gate"),
+        quota_per_trigger=1,
+    )
+    try:
+        rows = []
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            # the sink directory is half-written between commits — read
+            # failures and partial counts just mean "not yet"
+            try:
+                if glob.glob(str(out_dir / "*.parquet")):
+                    rows = spark.read.parquet(str(out_dir)).collect()
+                    # all 4 urls must eventually drain: h1's overflow
+                    # released one per trigger from state, h2 immediately
+                    if len(rows) >= 4:
+                        break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert {r.url for r in rows} == {
+            "https://h1.example/a", "https://h1.example/b",
+            "https://h1.example/c", "https://h2.example/x",
+        }
+        # politeness invariant: no batch ever released >1 url for a host
+        assert all(r.emitted_in_batch == 1 for r in rows)
+    finally:
+        q.stop()
+
+
 def test_snapshot_delta_semantics(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "log", kind="delta")
     t.append(spark, spark.range(3).select(F.col("id")))
