@@ -244,3 +244,31 @@ def test_multimodal_real_decode_with_pil(spark, pages_dir):
                for r in bad)
     for r in ok:
         assert r.resolution == r.width * r.height and r.filename.endswith(".png")
+
+
+def test_pyfiles_zip_self_contained(tmp_path):
+    """north_rule deploy path: the --py-files zip built by
+    scripts/make_pyfiles.py must import standalone (no repo dir on the
+    path) — every engine module resolves from inside the zip."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "scripts/make_pyfiles.py", str(tmp_path / "pkg.zip")],
+        capture_output=True, text=True, cwd=repo,
+    )
+    zip_path = out.stdout.strip()
+    assert zip_path.endswith(".zip"), out.stderr
+    code = (
+        f"import sys; sys.path.insert(0, {zip_path!r}); "
+        "import playwrightcrawler_spark.crawl.engine, "
+        "playwrightcrawler_spark.queries, playwrightcrawler_spark.oracles, "
+        "playwrightcrawler_spark.streaming.frontier_stream; print('ok')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert r.stdout.strip() == "ok", r.stderr[-800:]
