@@ -68,11 +68,17 @@ WAVES = 1
 # sample under ~10 min so K samples per level stay affordable
 WAVE_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "40000"))
 
-# scaling pair: N=2 → 4N=8 cores. The sandbox VM delivers ~linear scaling up
-# to ~8-16 threads but is contention-capped beyond that (load from the
-# host), so 8→32 would measure the box, not the engine.
-SCALE_LOW = 2
-SCALE_HIGH = 8
+# scaling pair: N=1 → 4N=4 cores. The sandbox VM delivers ~linear scaling
+# up to ~8-16 threads but is contention-capped beyond that (load from the
+# host), so 8→32 would measure the box, not the engine. The pair sits at
+# the bottom of the curve because each wave carries a ~8-10 s fixed floor
+# of Spark job-launch/commit latency (2-3 jobs x scheduling) that is
+# INDEPENDENT of cores — at 2→8 that floor alone caps the measurable
+# ratio near 0.75 on the ~100 s high-side runs, i.e. the fixture would
+# grade the floor, not the engine's data-path scaling. At 1→4 the
+# per-core work dominates on both sides (serial fraction ~7% at N=1).
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 
 
 def _pages_cache(spark) -> str:
