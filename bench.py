@@ -68,17 +68,28 @@ WAVES = 1
 # sample under ~10 min so K samples per level stay affordable
 WAVE_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "40000"))
 
-# scaling pair: N=1 → 4N=4 cores. The sandbox VM delivers ~linear scaling
-# up to ~8-16 threads but is contention-capped beyond that (load from the
-# host), so 8→32 would measure the box, not the engine. The pair sits at
-# the bottom of the curve because each wave carries a ~8-10 s fixed floor
-# of Spark job-launch/commit latency (2-3 jobs x scheduling) that is
-# INDEPENDENT of cores — at 2→8 that floor alone caps the measurable
-# ratio near 0.75 on the ~100 s high-side runs, i.e. the fixture would
-# grade the floor, not the engine's data-path scaling. At 1→4 the
-# per-core work dominates on both sides (serial fraction ~7% at N=1).
-SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
-SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
+# scaling pair: N=2 → 4N=8 cores (both pairs measured under the round-4
+# protocol — see BENCH/history.jsonl for the recorded 1→4 alternative; the
+# committed pair is the one with completed runs behind it). The sandbox VM
+# delivers ~linear scaling up to ~8-16 threads but is contention-capped
+# beyond that (load from the host), so 8→32 would measure the box, not
+# the engine.
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+
+# wall-time budget for the WHOLE bench (round-3 verdict #1: the driver's
+# official run must complete and print its JSON line inside the harness
+# budget — a timeout emits nothing and fails the round regardless of side
+# evidence). The protocol degrades K toward 1 sample per level when the
+# budget is tight but ALWAYS runs one sample at each scaling level, so the
+# scaling block is always emitted.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1800"))
+# reserved tail for the headline-query section (+ final bookkeeping)
+RESERVE_S = float(os.environ.get("SPARK_GRAFT_BENCH_RESERVE_S", "240"))
+# prior estimates (seconds) for the first sample at each CPU level, used
+# before a measured duration exists; the first sample additionally pays
+# fixture generation when the /tmp cache is cold
+_PRIOR_SAMPLE_S = {1: 700, 2: 420, 4: 260, 8: 200, 16: 180, 32: 180}
 
 
 def _pages_cache(spark) -> str:
@@ -94,7 +105,7 @@ def _pages_cache(spark) -> str:
     return path
 
 
-def _idle_gate(max_wait: float = 300, thresh: float = 1.0) -> float:
+def _idle_gate(max_wait: float = 90, thresh: float = 1.0) -> float:
     """Wait (bounded) for the 1-min loadavg to decay below ``thresh``
     before a timed run — it includes our own just-finished subprocesses
     as well as external interference bursts."""
@@ -122,8 +133,14 @@ def run_crawl_bench(cpus: int) -> dict:
     # politeness quota > 1 so waves are full-sized (3000 hosts, 4000/wave);
     # open-dir tree hunting off: the bench corpus has no directory pages,
     # so hunting would only inject guaranteed fetch-misses into the metric
+    # rebalance_fetch ON (the engine default): wave URLs correlate with the
+    # host-clustered corpus layout, so without the round-robin repartition
+    # the python extraction stage is fed by however many parquet splits the
+    # join output lands in — at 32 cores that starved the extractors and
+    # local[32] lost to local[8] (round-3 verdict #3)
     eng = CrawlEngine(spark, pages, wh, wave_size=WAVE_SIZE,
-                      per_host_quota=PAGES_PER_HOST, bucket_lineage=False, rebalance_fetch=False,
+                      per_host_quota=PAGES_PER_HOST, bucket_lineage=False,
+                      rebalance_fetch=os.environ.get("SPARK_GRAFT_BENCH_REBALANCE", "1") == "1",
                       method_weights={"oldest": 1}, hunt_open_directories=False)
     # frontier pre-populated with the whole corpus (S5 seed ingestion at
     # scale): the timed wave is pure fetch+extract+discover+commit work,
@@ -338,13 +355,17 @@ def main() -> None:
     # no adaptive stop-at-pass resampling, round-2 advice), best-of-K kept
     # (interference only slows runs), every attempt + pre-run load logged.
     K = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
+    t_bench0 = time.time()
+    deadline = t_bench0 + BUDGET_S
     runs: dict[int, list[dict]] = {}
     attempts: list[dict] = []
+    last_dur: dict[int, float] = {}
     scaling_error = None
 
     def _one(c: int) -> bool:
         nonlocal scaling_error
-        load = _idle_gate()
+        t_s0 = time.time()
+        load = _idle_gate(max_wait=min(90.0, max(0.0, deadline - time.time())))
         # taskset pins the WHOLE process tree (JVM + python workers) to
         # exactly c CPUs: local[c] alone only caps JVM task slots, and the
         # out-of-process python workers would otherwise use extra cores
@@ -354,6 +375,7 @@ def main() -> None:
             capture_output=True, text=True, cwd=str(REPO),
             env={**os.environ, "SPARK_GRAFT_CPUS": str(c)},
         )
+        last_dur[c] = time.time() - t_s0
         try:
             r = json.loads(proc.stdout.strip().splitlines()[-1])
         except (json.JSONDecodeError, IndexError):
@@ -375,17 +397,25 @@ def main() -> None:
     levels = [CPUS] if fast else [CPUS, SCALE_HIGH, SCALE_LOW]
     rounds = 1 if fast else K
     # interleave levels round-robin so a long interference burst cannot
-    # contaminate every sample of one level
-    for _ in range(rounds):
+    # contaminate every sample of one level; round 0 is mandatory (it is
+    # the minimum protocol — one sample per level, scaling block always
+    # present), later rounds run only while the budget allows them
+    skipped = 0
+    for rnd in range(rounds):
         for c in levels:
+            est = last_dur.get(c, _PRIOR_SAMPLE_S.get(c, 300.0))
+            if rnd > 0 and time.time() + est > deadline - RESERVE_S:
+                skipped += 1
+                continue
             _one(c)
 
     crawl = _best(CPUS)
     if crawl is None:
         sys.stderr.write(f"crawl bench failed: {scaling_error}\n")
         sys.exit(1)
-    _idle_gate()
-    queries, total, pass_totals = run_headline_queries()
+    _idle_gate(max_wait=min(60.0, max(0.0, deadline - time.time())))
+    qpasses = 3 if time.time() + 150 < deadline else 1
+    queries, total, pass_totals = run_headline_queries(passes=qpasses)
 
     result = {
         "metric": "urls_crawled_extracted_per_sec",
@@ -397,6 +427,14 @@ def main() -> None:
         "headline_pass_totals": pass_totals,
         "crawl": crawl,
         "crawl_median_urls_per_sec": _median_rate(CPUS),
+        "budget": {
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.time() - t_bench0, 1),
+            "k_requested": K,
+            "samples_run": len(attempts),
+            "samples_skipped_for_budget": skipped,
+            "headline_passes": qpasses,
+        },
     }
 
     if not fast and SCALE_LOW in runs and SCALE_HIGH in runs:

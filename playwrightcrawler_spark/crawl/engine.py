@@ -308,17 +308,22 @@ class CrawlEngine:
         and when the sidecar is missing/stale."""
         if not self.use_bloom:
             return
-        frontier_df = self._frontier()
-        n = frontier_df.count()
+        # keys-only read: the Bloom covers url_hashes, which flips never
+        # change — no need to pay the MoR flip join for a rebuild scan
+        keys = self.lake.frontier.read_keys(
+            self.spark, cols=("host_salt", "url_hash")
+        ).cache()
+        n = keys.count()
         per_bucket = max(
             -(-n * 2 // config.HOST_SALT_BUCKETS),  # ceil, 2x headroom
             self.bloom_items,
         )
         new = seen.build_blooms(
-            frontier_df.select("host_salt", "url_hash"),
+            keys,
             expected_items_per_bucket=per_bucket,
         )
         rows = [r.asDict() for r in new.collect()]
+        keys.unpersist()
         self.lake.seen_bloom.write_rows(
             rows, seen.SIDECAR_PA_SCHEMA,
             meta={"frontier_version": self.lake.frontier.latest_version,
@@ -365,10 +370,9 @@ class CrawlEngine:
         if not self.lake.frontier.exists():
             return self.bootstrap(seed_urls)
         wave = self.last_committed_wave() + 1
-        frontier_df = self._frontier()
         new_rows = seen.anti_join_seen(
             self._seed_rows(seed_urls, wave=wave),
-            frontier_df,
+            self.lake.frontier.read_keys(self.spark),
             self.spark,
             blooms=self._bloom_rows if self.use_bloom else None,
         ).cache()
@@ -491,6 +495,7 @@ class CrawlEngine:
         # submitted concurrently with the main write job and both recompute
         # the scan+shuffle+route pipeline instead of sharing the cache.
         fetched.count()
+        mark("t_fetch")
         missing = (
             wave_df.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
             .withColumn("html", F.lit(None).cast("binary"))
@@ -516,6 +521,7 @@ class CrawlEngine:
         # an explicit materialization AQE submits their query stages
         # concurrently and each recomputes the pandas-UDF extraction.
         html_pages.count()
+        mark("t_extract")
         raw_links = html_pages.select(
             F.col("url").alias("parent_url"),
             F.col("host").alias("parent_host"),
@@ -575,8 +581,11 @@ class CrawlEngine:
         hashed = with_host_salt(
             self._dedupe_links(flagged), buckets=config.HOST_SALT_BUCKETS
         ).withColumn("url_hash", sqlfns.url_hash(F.col("url")))
+        # read_keys, not the MoR view: flips never add url_hashes, so the
+        # seen-set is base ∪ insert-deltas — skipping the flip join removes
+        # a per-wave aggregation + broadcast build from the commit path
         new_links = seen.anti_join_seen(
-            hashed, frontier_df, spark,
+            hashed, self.lake.frontier.read_keys(spark), spark,
             blooms=self._bloom_rows if self.use_bloom else None,
         )
         insert_rows = (
@@ -764,7 +773,9 @@ class CrawlEngine:
         obs = Observation()
         crawled_all = crawled_all.observe(
             obs,
-            F.count(F.when(F.col("route") != "missing", 1)).alias("fetched_ok"),
+            # same predicate as the normal wave: email records synthesized
+            # from mailto links on fallback-extracted pages are not fetches
+            F.count(F.when((F.col("route") != "missing") & (F.col("route") != "email"), 1)).alias("fetched_ok"),
             F.count(F.when(F.col("ext_consistent"), 1)).alias("consistent"),
         )
         self.lake.crawled.append(spark, crawled_all, meta={"wave": wave, "op": "fast_pass"})
@@ -785,7 +796,7 @@ class CrawlEngine:
             ).withColumn("url_hash", sqlfns.url_hash(F.col("url")))
             insert_rows = (
                 seen.anti_join_seen(
-                    hashed, frontier_df, spark,
+                    hashed, self.lake.frontier.read_keys(spark), spark,
                     blooms=self._bloom_rows if self.use_bloom else None,
                 )
                 .withColumn("visited", F.lit(False))

@@ -219,27 +219,51 @@ def jaccard_verify(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash with md5-derived token hashes (deterministic across
     runs/platforms). Near-dups differ in few bits; pair finding buckets on
-    16-bit chunks (4 bands → hamming distance <= 3 guaranteed recall)."""
+    16-bit chunks (4 bands → hamming distance <= 3 guaranteed recall).
 
-    def _one(text):
+    Vectorized (round-3 verdict #5): the bit votes are numpy, not a
+    per-token Python loop. Per doc: unique tokens + counts, md5 only the
+    batch-new tokens (memoized — Zipf makes the memo hit rate high), then
+    ``unpackbits`` the 8-byte digests into a (U, 64) matrix and take one
+    weighted column sum. Bit order: ``unpackbits`` column j is bit (63-j)
+    of the big-endian digest int, and ``packbits`` + big-endian view
+    reconstructs exactly ``int.from_bytes(md5[:8], 'big')`` semantics, so
+    the output is bit-identical to the scalar reference kernel (pinned by
+    the DuckDB oracle, which recomputes the whole pipeline)."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    import numpy as np
+
+    split = _re.compile("[^a-z0-9]+").split
+    memo: dict[str, bytes] = {}
+    n = len(texts)
+    sign_bits = np.zeros((n, 64), dtype=np.uint8)
+    for i, text in enumerate(texts):
         if not isinstance(text, str) or not text:
-            return 0
-        votes = [0] * 64
-        import re as _re
-
-        for tok in _re.split("[^a-z0-9]+", text.lower()):
-            if not tok:
-                continue
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                votes[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if votes[bit] > 0:
-                v |= 1 << bit
-        return v - (1 << 64) if v >= (1 << 63) else v  # to signed long
-
-    return texts.map(_one)
+            continue
+        counter = _Counter(t for t in split(text.lower()) if t)
+        if not counter:
+            continue
+        buf = bytearray()
+        for t in counter:
+            d = memo.get(t)
+            if d is None:
+                d = hashlib.md5(t.encode()).digest()[:8]
+                memo[t] = d
+            buf += d
+        bits = np.unpackbits(
+            np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, 8), axis=1
+        ).astype(np.int32)
+        counts = np.fromiter(counter.values(), dtype=np.int32, count=len(counter))
+        # votes[j] = Σ count·(2·bit−1) = 2·(counts@bits) − Σcounts
+        votes = 2 * (counts @ bits) - counts.sum()
+        sign_bits[i] = votes > 0
+    packed = np.packbits(sign_bits, axis=1)  # (n, 8) big-endian bytes
+    vals = np.zeros(n, dtype=np.uint64)
+    for b in range(8):
+        vals = (vals << np.uint64(8)) | packed[:, b].astype(np.uint64)
+    return pd.Series(vals.view(np.int64))
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -151,30 +151,30 @@ def pairwise_near_dups(
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     sig_udf = make_multiband_signature_udf(dim, bits, bands, seed)
-    with_sig = (
+    # Candidate generation joins (band, sig, id) SKELETONS only — the
+    # band self-join otherwise shuttles every full vector ×bands×2 through
+    # the shuffle (round-3 verdict #6). Vectors re-attach exactly once,
+    # to the distinct candidate id-pairs, for the cosine confirm — the
+    # shuffle shrinks by ~dim×bands on the exploded side.
+    skeleton = (
         df.select(id_col, vec_col)
         .withColumn("_sigs", sig_udf(F.col(vec_col)))
-        .select(
-            id_col, vec_col,
-            F.posexplode(F.col("_sigs")).alias("band", "sig"),
-        )
+        .select(id_col, F.posexplode(F.col("_sigs")).alias("band", "sig"))
     )
-    l = with_sig.select(
-        "band", "sig",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    r = with_sig.select(
-        "band", "sig",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return (
+    l = skeleton.select("band", "sig", F.col(id_col).alias("id_a"))
+    r = skeleton.select("band", "sig", F.col(id_col).alias("id_b"))
+    pairs = (
         l.join(r, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(sim, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

@@ -267,6 +267,32 @@ class MorTable(SnapshotTable):
             )
         return rows
 
+    def read_keys(self, spark: SparkSession, cols: tuple[str, ...] = ("url_hash",),
+                  version: int | None = None) -> DataFrame:
+        """The table's KEY SET (url_hash ∪ …) without the merge-on-read flip
+        join. Flip deltas only mark existing keys visited — they never add or
+        remove keys — so the seen-set consumers (anti-join, Bloom build) can
+        read base ∪ insert-deltas directly: a plain multi-dir parquet scan
+        with column pruning, no flip aggregation and no broadcast build per
+        use. At 10^10 rows that removes one whole join from every wave's
+        dedup path (on Iceberg: a data-file scan that skips the positional
+        delete merge)."""
+        v = self.latest_version if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.name} has no snapshots")
+        entries = [e for e in self.versions() if e["version"] <= v]
+        base_vs = [e["version"] for e in entries if self._is_base(e)]
+        if not base_vs:
+            raise FileNotFoundError(f"table {self.name} has no base snapshot <= v{v}")
+        base_v = max(base_vs)
+        dirs = [self._snap_dir(base_v)]
+        for e in entries:
+            if e["version"] > base_v:
+                d = Path(self._snap_dir(e["version"])) / "inserts"
+                if d.exists():
+                    dirs.append(str(d))
+        return spark.read.parquet(*dirs).select(*cols)
+
     def deltas_since_base(self) -> int:
         entries = self.versions()
         base_vs = [e["version"] for e in entries if self._is_base(e)]
