@@ -405,6 +405,8 @@ _OPENDIR_COMPILED = [re.compile(p, re.IGNORECASE) for p in _OPENDIR_STATIC]
 # MAINTENANCE CONTRACT: any pattern added to _OPENDIR_STATIC must add a
 # keyword here that every possible match contains (checked by
 # tests/test_textextract.py::test_opendir_keyword_prefilter_covers_patterns).
+_WS_RUN = re.compile(r"\s+")
+
 _OPENDIR_KEYWORDS = (
     "index of",            # Apache title/h1 + generic <title>Index of
     "parent director",     # IIS [To Parent Directory], Parent Directory/ links
@@ -467,7 +469,12 @@ def is_open_directory(content: str, content_url: str) -> tuple[bool, str]:
     pattern matched" is comparable."""
     if not content:
         return False, ""
-    low = content.lower()
+    # whitespace runs collapse to one space BEFORE the keyword scan: the
+    # fingerprints use \s*/\s+ separators, so '<title>host  -  /</title>'
+    # or 'Directory\tLister' would otherwise slip past the single-space
+    # keywords and violate the never-correctness-affecting contract
+    # (round-3 advice); the regexes still run on the ORIGINAL content
+    low = _WS_RUN.sub(" ", content.lower())
     if not any(k in low for k in _OPENDIR_KEYWORDS):
         return False, ""
     host = urlsplit(content_url)[1]

@@ -120,6 +120,7 @@ def host_budgeted_fetch(
     urls: DataFrame,
     pages: DataFrame,
     budget_per_host: int = 20,
+    write_root: str | None = None,
 ) -> DataFrame:
     """X9/X10: fetch bytes for the selected URLs with per-host politeness.
 
@@ -139,7 +140,17 @@ def host_budgeted_fetch(
       (reference per-host lock, downloader.py:256-264) in deterministic
       url order; no row is ever silently dropped (no silent caps);
     - host_salt skew note: politeness accounting must aggregate on the RAW
-      host, so the grouping/window key is host itself.
+      host, so the grouping/window key is host itself;
+    - ``write_root`` (S6, the asset byte sink — reference handler file
+      writes playwrightcrawler.py:2803-2818 / downloader.py:168-209): when
+      set, each task writes its rows' bytes into a mirror tree at
+      ``write_root/<P19 path>`` and reports status ``written``. The P19
+      kernel already flattens traversal into ``unsafe/``; the sink
+      additionally realpath-confirms containment before writing (rows
+      failing it — impossible by construction — come back as
+      ``unsafe_skipped``, never silently dropped). On a cluster this runs
+      executor-side, so write_root must be a shared filesystem (or an
+      object-store mount); the sandbox exercises it on local disk.
 
     Input ``urls`` needs (url, host); output one row per input url.
     """
@@ -171,13 +182,46 @@ def host_budgeted_fetch(
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         # group size is <= budget_per_host by construction (window pre-limit)
         pdf = pdf.sort_values("url").reset_index(drop=True)
+        paths = pdf["url"].map(safe_filepath_from_url)
+        if write_root is None:
+            status = ["downloaded"] * len(pdf)
+        else:
+            import os
+
+            root = os.path.realpath(write_root)
+            status = []
+            for rel, payload in zip(paths, pdf["html"]):
+                dest = os.path.realpath(os.path.join(root, rel))
+                if not (dest == root or dest.startswith(root + os.sep)):
+                    status.append("unsafe_skipped")
+                    continue
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                with open(dest, "wb") as fh:
+                    fh.write(bytes(payload) if payload is not None else b"")
+                status.append("written")
         return pd.DataFrame({
             "url": pdf["url"],
             "host": pdf["host"],
             "bytes_len": pdf["html"].map(lambda b: len(b) if b is not None else 0),
-            "status": "downloaded",
-            "filepath": pdf["url"].map(safe_filepath_from_url),
+            "status": status,
+            "filepath": paths,
         })
 
     fetched = hit.groupBy("host").applyInPandas(_fetch, _FETCH_SCHEMA)
     return fetched.unionByName(missing).unionByName(over_budget)
+
+
+def mirror_assets(
+    crawled: DataFrame,
+    pages: DataFrame,
+    output_root: str,
+    budget_per_host: int = 20,
+    **scan_filters,
+) -> DataFrame:
+    """The reference downloader entry point end-to-end (S6+S7+X9/X10):
+    regex-filtered scan → politeness-budgeted fetch → mirror-tree byte
+    sink under ``output_root``. Returns the per-url status frame."""
+    scan = filtered_scan(crawled, **scan_filters)
+    return host_budgeted_fetch(
+        scan, pages, budget_per_host=budget_per_host, write_root=output_root
+    )

@@ -33,6 +33,13 @@ try:  # pragma: no cover - exercised only where Pillow is installed
 except ImportError:
     _HAVE_PIL = False
 
+try:  # pragma: no cover - public NSFW model (reference ships opennsfw2)
+    import opennsfw2 as _opennsfw2  # type: ignore
+
+    _HAVE_NSFW = True
+except ImportError:
+    _HAVE_NSFW = False
+
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("media_type", T.StringType()),
@@ -91,6 +98,37 @@ def fake_decode(payload: bytes) -> dict:
         "filename": hashlib.sha512(payload).hexdigest() + ".png",
         "image": None,
     }
+
+
+def real_nsfw_scorer(decoded: dict) -> float:
+    """The public opennsfw2 model on the decoded Pillow image — the exact
+    scorer the reference wires into ``isnsfw`` (playwrightcrawler.py:
+    3866-3881). Import-guarded like PIL/bs4: on a cluster with
+    Pillow+opennsfw2 installed this runs with zero code change; in this
+    sandbox it raises and callers use ``fake_nsfw_scorer``."""
+    if not _HAVE_NSFW:
+        raise NotImplementedError(
+            "NSFW scoring requires opennsfw2; not installed in this "
+            "sandbox. Pass nsfw_scorer=fake_nsfw_scorer for the "
+            "deterministic test path."
+        )
+    return float(_opennsfw2.predict_image(decoded["image"]))
+
+
+def fake_nsfw_scorer(decoded: dict) -> float:
+    """Deterministic stand-in: probability derived from the decoded
+    filename hash — stable across runs/platforms, so the full seam
+    (decode → MIN_NSFW_RES gate → scorer → isnsfw column) is exercised
+    end-to-end and assertable without the model."""
+    h = (decoded.get("filename") or "0").split(".")[0][:4] or "0"
+    return int(h, 16) / 65535.0
+
+
+def default_nsfw_scorer() -> Callable[[dict], float] | None:
+    """The scorer a production deployment gets by default: the real model
+    when its import succeeded, else None (isnsfw stays NULL — the
+    reference's behavior with NSFW scoring disabled)."""
+    return real_nsfw_scorer if _HAVE_NSFW else None
 
 
 def extract_media_metadata(

@@ -74,7 +74,9 @@ _COSINE = (
 import os as _os
 import tempfile as _tempfile
 
-_FIXTURE_PARQUET = _os.path.join(_tempfile.gettempdir(), "pwc_fixture_pages_v3.parquet")
+from playwrightcrawler_spark.sources.pages_gen import fixture_path as _fixture_path
+
+_FIXTURE_PARQUET = _fixture_path()
 
 # path → lower-cased extension, replicating sqlfns.file_extension on the
 # fixture's URL shapes (no %-escapes in fixture paths)
@@ -190,6 +192,145 @@ def _simhash_oracle() -> str:
         )
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         ORDER BY id_a, id_b
+    """
+
+
+def _lsh_topk_oracle(bits: int = 8, seed: int = 42, dim: int = 64,
+                     multiprobe: int = 2, k: int = 20) -> str:
+    """Independent SQL recomputation of the hyperplane-LSH ANN path: the
+    seeded plane matrix is emitted as literal DOUBLE lists, DuckDB derives
+    every vector's sign-bit bucket, the probe set (hamming <= multiprobe
+    from the query's bucket) and the exact cosine top-k inside it."""
+    from playwrightcrawler_spark.operators.similarity import _planes
+
+    planes = _planes(dim, bits, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
+        for b in range(bits)
+    ]
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits[b]}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        s AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+        q AS (SELECT v AS qv, bucket AS qb FROM s WHERE vec_id = 0),
+        probed AS (
+            SELECT s.vec_id, s.v, q.qv FROM s, q
+            WHERE bit_count(xor(s.bucket::BIGINT, q.qb::BIGINT)) <= {multiprobe}
+        ),
+        c AS (
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM probed
+        )
+        SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+def _expected_crawl_boot() -> list[tuple[str, str]]:
+    """Pure-Python replication of the bootstrap hygiene over the
+    deterministic fixture rows (generate_rows is seeded — no Spark and no
+    parquet read involved): returns the (canonical_url, host) frontier the
+    engine must build. Uses the reference-parity scalar functions
+    (sanitize_url / has_repeated_segments — themselves pinned against the
+    reference by pytest), NOT the Spark column pipeline under test."""
+    import re as _re
+    from urllib.parse import urlsplit as _urlsplit
+
+    from playwrightcrawler_spark import config as _config
+    from playwrightcrawler_spark.functions import urltools as _ut
+    from playwrightcrawler_spark.sources import pages_gen as _pg
+
+    host_block = [_re.compile(p) for p in _config.HOST_REGEX_BLOCK_LIST]
+    host_allow = [_re.compile(p) for p in _config.HOST_REGEX_ALLOW_LIST]
+    url_block = [_re.compile(p) for p in _config.URL_REGEX_BLOCK_LIST]
+    seen, out = set(), []
+    for row in _pg.generate_rows():
+        u = row["url"]
+        # raw-url checks precede canonicalization (reference order)
+        if _ut.is_embedded_url(u) or len(u) > _config.MAX_URL_LENGTH:
+            continue
+        cu = _ut.sanitize_url(u)
+        if not cu:
+            continue
+        try:
+            host = _urlsplit(cu).hostname
+        except ValueError:
+            host = None
+        if not host:
+            continue
+        host = host.lower()
+        if any(rx.search(host) for rx in host_block):
+            continue
+        if not any(rx.search(host) for rx in host_allow):
+            continue
+        if any(rx.search(cu) for rx in url_block):
+            continue
+        if _ut.has_repeated_segments(cu):
+            continue
+        if cu in seen:
+            continue
+        seen.add(cu)
+        out.append((cu, host))
+    return out
+
+
+def _crawl_wave_oracle(quota: int = 3, wave_size: int = 200) -> str:
+    """Independent SQL recomputation of one crawl wave under the
+    SQL-replicable configuration of queries.q_crawl_wave: python-hygiene
+    bootstrap VALUES → per-host url-ordered quota window → global
+    url-ordered limit (the 'oldest' policy over equal bootstrap
+    timestamps) → fetch hit/miss via LEFT JOIN on the fixture parquet →
+    magic-byte sniff + route tables recomputed in SQL."""
+    from playwrightcrawler_spark.functions import routing as _routing
+    from playwrightcrawler_spark.functions import sniff as _sniff
+
+    boot = _expected_crawl_boot()
+    values = ",\n            ".join(
+        "('" + u.replace("'", "''") + "')" for u, _ in boot
+    )
+    mimes = (
+        {m for _, m in _sniff._MAGIC}
+        | set(_sniff._EXT_MIME.values())
+        | {"video/mp4", "text/html", "application/json", "text/plain"}
+    )
+    mime_route = _case(
+        "content_type",
+        {m: _routing.route_for(m) for m in sorted(mimes)},
+        default=f"'{_routing.route_for('')}'",
+    )
+    return f"""
+        WITH boot(url) AS (VALUES {values}),
+        b AS (SELECT url, {_SQL_HOST} AS host FROM boot),
+        ranked AS (
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host ORDER BY url) AS rn
+            FROM b
+        ),
+        sel AS (
+            SELECT url, host FROM ranked WHERE rn <= {quota}
+            ORDER BY url LIMIT {wave_size}
+        ),
+        j AS (
+            SELECT s.url, s.host, p.url IS NOT NULL AS hit,
+                   hex(p.html) AS hx, {_SQL_EXT.replace('url', 's.url')} AS ext
+            FROM sel s LEFT JOIN read_parquet('{_FIXTURE_PARQUET}') p
+              ON s.url = p.url
+        ),
+        r AS (
+            SELECT url, host, hit, ext AS file_extension,
+                   CASE WHEN hit THEN {_sniff_sql()} ELSE '' END AS content_type
+            FROM j
+        )
+        SELECT url,
+               CASE WHEN NOT hit THEN 'missing' ELSE {mime_route} END AS route,
+               content_type, host, file_extension, 1 AS wave
+        FROM r
     """
 
 
@@ -333,6 +474,17 @@ ORACLES: dict[str, str] = {
         {_SIG_SQL}
         SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b
     """,
+    # guaranteed-recall invariant of the xxh64 production path: identical
+    # texts share every min-hash in any hash mode, so every doc with a
+    # non-empty token set pairs with its exact copy — the oracle derives
+    # the expected count independently and pins found==expected, missed==0
+    "minhash_lsh_pairs_xxh": f"""
+        SELECT CAST(count(*) AS BIGINT) AS expected_copy_pairs,
+               CAST(count(*) AS BIGINT) AS found_copy_pairs,
+               CAST(0 AS BIGINT) AS pairs_missed
+        FROM documents WHERE len({_TOKS}) > 0
+    """,
+    "embedding_lsh_topk": _lsh_topk_oracle(),
     "ngram_jaccard": f"""
         WITH corpus AS ({_DOCS_WITH_COPIES}),
         {_SIG_SQL},
@@ -499,6 +651,7 @@ ORACLES: dict[str, str] = {
         FROM j
     """,
     "simhash_candidates": _simhash_oracle(),
+    "crawl_wave": _crawl_wave_oracle(),
     # multimodal plumbing with the deterministic fake decoder: width/height
     # derive from the first two payload bytes, recomputed here from the
     # hex dump; sha256/sha512-filename columns are excluded (DuckDB hashes

@@ -270,12 +270,29 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_minhash_lsh_pairs_xxh(spark, sf_dir):
     """[dedup:lsh production] the same banded pipeline on the xxhash64
     production path — numeric min-hashes, no md5 digest strings in the
-    exploded hot loop (the headline bench times BOTH modes). Rows-only in
-    CORRECTNESS (DuckDB has no xxhash64); pytest pins its guaranteed-recall
-    invariant to the md5 path: every exact copy pairs in both modes."""
+    exploded hot loop (the headline bench times BOTH modes). DuckDB has no
+    xxhash64, so the oracle pins the guaranteed-recall INVARIANT instead
+    (round-3 verdict #4): identical texts share every min-hash in any hash
+    mode, so every doc with a non-empty token set MUST pair with its exact
+    copy (id+1M) — found == expected and pairs_missed == 0. The full
+    explode→groupBy→band-join pipeline still runs to produce the counts."""
     both = _docs_with_copies(spark, sf_dir)
     sig = dedup.minhash_signatures(both, hash_mode="xxh64")
-    return dedup.lsh_candidate_pairs(sig, hash_mode="xxh64")
+    pairs = dedup.lsh_candidate_pairs(sig, hash_mode="xxh64")
+    docs = _t(spark, sf_dir, "documents")
+    expected = docs.filter(
+        F.size(dedup.tokens_col(F.col("text"))) > 0
+    ).agg(F.count("*").alias("expected_copy_pairs"))
+    found = pairs.filter(
+        F.col("id_b") == F.col("id_a") + 1_000_000
+    ).agg(F.count_distinct("id_a").alias("found_copy_pairs"))
+    return (
+        expected.crossJoin(found)
+        .withColumn(
+            "pairs_missed",
+            F.col("expected_copy_pairs") - F.col("found_copy_pairs"),
+        )
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -335,8 +352,11 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
-    """[ann:lsh] (rows-only: numpy hyperplane signatures) bucketed ANN —
-    the scale path for 10^9 vectors."""
+    """[ann:lsh] bucketed ANN — the scale path for 10^9 vectors. Oracle
+    (round-3 verdict #4): the hyperplane matrix is seeded and emitted as
+    SQL literals, so DuckDB recomputes signatures, the hamming<=2 probe
+    set, and the exact cosine top-k inside the probed buckets — full
+    row/value parity, no longer rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=20, bits=8, multiprobe=2)
 
@@ -381,9 +401,10 @@ def q_fingerprints(spark, sf_dir):
 def _fixture_pages(spark) -> str:
     from playwrightcrawler_spark.sources import pages_gen
 
-    # versioned name: the fixture content derives from the extraction
-    # kernels, so a kernel change must invalidate the cached parquet
-    path = os.path.join(tempfile.gettempdir(), "pwc_fixture_pages_v3.parquet")
+    # content-addressed name (pages_gen.fixture_path): the fixture content
+    # derives from the extraction kernels, so ANY generator/kernel change
+    # yields a new path and regenerates — no stale /tmp cache possible
+    path = pages_gen.fixture_path()
     if not os.path.exists(path):
         pages_gen.write_pages_fixture(path)
     return path
@@ -463,19 +484,29 @@ def q_fast_extension_pass(spark, sf_dir):
 def q_crawl_wave(spark, sf_dir):
     """[engine] one full crawl wave end-to-end on the synthetic pages
     fixture with the SCALE configuration live — Bloom seen-set pre-filter,
-    robots compliance parsed from the corpus, MoR frontier commits
-    (rows-only; pytest pins the per-url text invariant and proves the
-    bloomed crawl table-identical to the exact path)."""
+    MoR frontier commits, link discovery/hygiene, fetch join, sniff+route.
+    Oracle-checked (round-3 verdict #4): the configuration is made
+    SQL-replicable — bootstrap = ALL fixture urls (hygiene applies), the
+    'oldest' policy over equal bootstrap timestamps degenerates to
+    url-ordered per-host quota + global limit, robots off — so DuckDB
+    independently recomputes the selected wave, the fetch hit/miss split
+    and every projected column (route/content_type/host/extension) from
+    the fixture parquet. Email rows are projected out (their parent-page
+    extraction is oracled via pages_extract); isopendir stays pinned by
+    the opendir pytest suite; robots compliance by the engine tests."""
     from playwrightcrawler_spark.crawl.engine import CrawlEngine
-    from playwrightcrawler_spark.sources import pages_gen
 
     wh = tempfile.mkdtemp(prefix="pwc_wave_")
-    eng = CrawlEngine(spark, _fixture_pages(spark), wh, wave_size=200,
+    pages_path = _fixture_pages(spark)
+    eng = CrawlEngine(spark, pages_path, wh, wave_size=200, per_host_quota=3,
                       use_bloom=True, bloom_items_per_bucket=2000,
-                      robots_rules="pages")
-    eng.run(1, seed_urls=pages_gen.seed_urls())
-    return eng.lake.crawled.read(spark).select(
-        "url", "route", "content_type", "isopendir", "host", "file_extension", "wave"
+                      method_weights={"oldest": 1})
+    eng.bootstrap(spark.read.parquet(pages_path).select("url"))
+    eng.run(1)
+    return (
+        eng.lake.crawled.read(spark)
+        .filter(F.col("route") != "email")
+        .select("url", "route", "content_type", "host", "file_extension", "wave")
     )
 
 

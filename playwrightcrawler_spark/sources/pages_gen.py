@@ -285,6 +285,33 @@ def write_pages_fixture(path: str, n_extra_hosts: int = 20, seed: int = 42) -> i
     return len(rows)
 
 
+_FIXTURE_PATH: str | None = None
+
+
+def fixture_path() -> str:
+    """Content-addressed /tmp path for the default fixture parquet: the
+    filename embeds a digest of the generated rows, so any change to the
+    generator or the extraction kernels it calls produces a NEW path and a
+    stale cached parquet can never be read again (a hand-bumped version
+    suffix silently desynced in round 4). Consumers (queries, oracles)
+    must share this one path source."""
+    global _FIXTURE_PATH
+    if _FIXTURE_PATH is None:
+        import hashlib
+        import os
+        import tempfile
+
+        h = hashlib.sha256()
+        for r in generate_rows():
+            h.update(r["url"].encode())
+            h.update(r["html"])
+            h.update(r["text"].encode())
+        _FIXTURE_PATH = os.path.join(
+            tempfile.gettempdir(), f"pwc_fixture_pages_{h.hexdigest()[:16]}.parquet"
+        )
+    return _FIXTURE_PATH
+
+
 def seed_urls() -> list[str]:
     """The pinned ordered seed list (FIXTURES.md A2)."""
     return [f"https://seed{i}.example.org/" for i in range(4)] + [

@@ -113,9 +113,13 @@ def start_politeness_gate(
 ):
     """Streaming per-host politeness: at most ``quota_per_trigger`` URLs
     per host are released per micro-batch; the overflow is CARRIED in
-    per-host state (bounded at ``max_pending`` — beyond that the oldest
-    overflow is counted in ``dropped``, never silently lost) and released
-    by later triggers even if no new links arrive for that host.
+    per-host state (bounded at ``max_pending`` — beyond that the NEWEST
+    arrivals are counted in ``dropped``, never silently lost: the queue is
+    FIFO, full queue rejects new work) and released by later triggers even
+    if no new links arrive for that host. State is REMOVED once a host's
+    backlog drains (re-created on its next input), so state size tracks
+    hosts with live backlogs, not every host ever seen; the ``dropped``
+    counter consequently accounts per backlog episode, not per lifetime.
 
     This is the reference's per-host asyncio.Lock/serial-fetch semantics
     (downloader.py:256-264) as a custom stateful streaming operator:
@@ -137,11 +141,15 @@ def start_politeness_gate(
             dropped += len(pending) - max_pending
             pending = pending[: max_pending]
         release, pending = pending[:quota_per_trigger], pending[quota_per_trigger:]
-        state.update((pending, dropped))
         if pending:
+            state.update((pending, dropped))
             # a processing-time timeout re-invokes this host next trigger
             # even with no new input, so carried URLs always drain
             state.setTimeoutDuration(500)
+        elif state.exists:
+            # drained: drop the state row — otherwise state grows
+            # monotonically with every distinct host ever seen
+            state.remove()
         if release:
             yield pd.DataFrame({
                 "url": release,

@@ -176,3 +176,79 @@ def test_fast_extension_pass_engine(spark, pages_dir, tmp_path_factory):
     # fast-pass candidate)
     m2 = eng.run_fast_extension_pass(wave=2)
     assert m2["urls_selected"] == 0 and m2["done"]
+
+
+def test_mirror_sink_writes_contained_tree(spark, tmp_path):
+    """S6 byte sink: bytes land at the P19 mirror path under the root,
+    hostile URLs (traversal, encoded traversal, unsafe chars, queries,
+    directories) stay CONTAINED (reference downloader.py:168-209 cases),
+    and every input row comes back with a status."""
+    payload = {
+        "https://h.example.com/a/logo.png": b"\x89PNGdata",
+        "https://h.example.com/dir/": b"<html>index</html>",
+        "https://h.example.com/q.png?v=1&x=../..": b"querybytes",
+        "https://evil.example.com/../../../../etc/passwd": b"traversal",
+        "https://evil.example.com/..%2f..%2fwin.ini": b"enc-traversal",
+        'https://evil.example.com/con<>:"|?*.txt': b"unsafe-chars",
+    }
+    pages = spark.createDataFrame(
+        [(u, b) for u, b in payload.items()], "url string, html binary"
+    )
+    urls = pages.select(
+        "url",
+        F.lower(F.regexp_extract("url", r"://([^/?#]+)", 1)).alias("host"),
+    )
+    root = str(tmp_path / "mirror")
+    out = downloader.host_budgeted_fetch(urls, pages, write_root=root)
+    rows = {r.url: r for r in out.collect()}
+    assert len(rows) == len(payload)
+    assert all(r.status == "written" for r in rows.values())
+
+    import os
+
+    written = []
+    for base, _, files in os.walk(root):
+        for f in files:
+            written.append(os.path.join(base, f))
+    assert len(written) == len(payload)
+    real_root = os.path.realpath(root)
+    for p in written:
+        rp = os.path.realpath(p)
+        assert rp.startswith(real_root + os.sep), p
+    # byte fidelity + the P19 shapes: directory -> index.html, query ->
+    # encoded into the name, traversal -> unsafe/
+    def read(rel):
+        with open(os.path.join(root, rel), "rb") as fh:
+            return fh.read()
+
+    assert read(rows["https://h.example.com/a/logo.png"].filepath) == b"\x89PNGdata"
+    assert rows["https://h.example.com/dir/"].filepath.endswith("index.html")
+    assert read(rows["https://h.example.com/dir/"].filepath) == b"<html>index</html>"
+    trav = rows["https://evil.example.com/../../../../etc/passwd"].filepath
+    assert "/unsafe/" in trav
+    assert read(trav) == b"traversal"
+
+
+def test_mirror_assets_end_to_end(spark, pages_dir, tmp_path):
+    """mirror_assets = filtered scan -> budgeted fetch -> byte sink."""
+    from playwrightcrawler_spark.functions import sqlfns
+
+    pages = spark.read.parquet(pages_dir)
+    crawled = pages.select(
+        "url",
+        sqlfns.host_of(F.col("url")).alias("host"),
+        sqlfns.file_extension(sqlfns.path_of(F.col("url"))).alias("file_extension"),
+        F.lit("application/octet-stream").alias("content_type"),
+    )
+    root = str(tmp_path / "assets")
+    out = downloader.mirror_assets(
+        crawled, pages, root, include_ext=[r"^png$"],
+    ).collect()
+    assert out and all(r.status == "written" for r in out)
+
+    import os
+
+    for r in out:
+        dest = os.path.join(root, r.filepath)
+        assert os.path.isfile(dest)
+        assert os.path.getsize(dest) == r.bytes_len

@@ -210,6 +210,31 @@ def test_multimodal_nsfw_seam(spark, pages_dir):
     assert all(r.isnsfw is None for r in meta_hi.collect())
 
 
+def test_multimodal_nsfw_scorer_wiring(spark, pages_dir):
+    """The shipped scorers: fake_nsfw_scorer runs the full seam end-to-end
+    deterministically; real_nsfw_scorer is import-guarded exactly like the
+    PIL decoder; default_nsfw_scorer resolves per environment."""
+    import pytest as _pytest
+
+    pages = spark.read.parquet(pages_dir).filter(F.col("url").rlike(r"\.(png|jpg)$"))
+    meta = multimodal.extract_media_metadata(
+        pages, bin_col="html", decoder=multimodal.fake_decode,
+        nsfw_scorer=multimodal.fake_nsfw_scorer, min_nsfw_res=0,
+    )
+    rows = meta.collect()
+    assert rows
+    for r in rows:
+        assert r.decode_ok and 0.0 <= r.isnsfw <= 1.0
+        # deterministic: derived from the sha512 filename prefix
+        assert r.isnsfw == int(r.filename[:4], 16) / 65535.0
+    if multimodal._HAVE_NSFW:  # pragma: no cover - model present
+        assert multimodal.default_nsfw_scorer() is multimodal.real_nsfw_scorer
+    else:
+        assert multimodal.default_nsfw_scorer() is None
+        with _pytest.raises(NotImplementedError):
+            multimodal.real_nsfw_scorer({"image": None})
+
+
 def test_multimodal_decoder_unavailable(spark, pages_dir):
     """The real-decode path must degrade row-wise, not kill tasks."""
     import pytest as _pytest
