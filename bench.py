@@ -12,9 +12,11 @@ Sections:
    parallelism level.
 2. headline analytics queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 3. scaling evidence (unless SPARK_GRAFT_BENCH_FAST=1): the same crawl job
-   re-run in a fresh JVM at local[8] and compared with the local[32]
-   number → efficiency = (T32/T8)/4, the sandbox proxy for the N→4N
-   executor criterion (north_rule). Results also land in BENCH/BASELINE.md.
+   re-run in fresh JVMs at the pinned scaling pair (SCALE_LOW → SCALE_HIGH
+   cores, default 2 → 8) → efficiency = (rate_high/rate_low)/4, the
+   sandbox proxy for the N→4N executor criterion (north_rule). Results
+   also land in BENCH/BASELINE.md. The whole run respects a wall-time
+   budget (SPARK_GRAFT_BENCH_BUDGET_S) and always emits the full JSON.
 
 Usage: python bench.py [--crawl-only] [--cpus N] [--json-out FILE]
 """
@@ -296,16 +298,24 @@ def write_baseline_md(result: dict) -> None:
         f"local[{CPUS}] throughput, the scaling pair, and the headline",
         "queries. Each crawl sample runs in a fresh JVM with the whole",
         "process tree taskset-pinned to exactly its CPU count, idle-gated",
-        "on the pre-run 1-min loadavg; a FIXED K samples per level (env",
+        "on the pre-run 1-min loadavg; K samples per level (env",
         "SPARK_GRAFT_BENCH_K, default 3) interleaved round-robin across",
         "levels so one interference burst cannot contaminate a whole",
-        "level. Best-of-K is the headline (interference only slows runs);",
-        "median-of-K is reported alongside as the bias check (round-2",
-        "advice — no adaptive stop-at-pass resampling). Headline queries:",
-        "3 passes in one session, per-query minimum, per-pass totals",
+        "level. The whole run is bounded by a wall-time budget (env",
+        "SPARK_GRAFT_BENCH_BUDGET_S, default 1800 s — round-3 verdict #1:",
+        "the driver harness must always receive a parsable JSON line):",
+        "round 0 (one sample per level, scaling block included) is",
+        "mandatory, later rounds run only while their estimated duration",
+        "fits the remaining budget, so K degrades toward 1 under pressure",
+        "but the protocol shape never changes. Best-of-K is the headline",
+        "(interference only slows runs); median-of-K is reported alongside",
+        "as the bias check (round-2 advice — no adaptive stop-at-pass",
+        "resampling). Headline queries: 3 passes (1 when the budget is",
+        "tight) in one session, per-query minimum, per-pass totals",
         "recorded. All attempts + pre-run loads are in the JSON",
-        "'scaling.attempts'. This is the sandbox evidence protocol for",
-        "the N→4N executor criterion (BASELINE.md row 'sandbox evidence').",
+        "'scaling.attempts'; budget accounting in 'budget'. This is the",
+        "sandbox evidence protocol for the N→4N executor criterion",
+        "(BASELINE.md row 'sandbox evidence').",
         "",
         "## Notes",
         "",
