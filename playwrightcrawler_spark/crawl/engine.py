@@ -116,7 +116,7 @@ class CrawlEngine:
         hunt_open_directories: bool = config.HUNT_OPEN_DIRECTORIES,
         robots_rules: DataFrame | None = None,
         bucket_lineage: bool = True,
-        rebalance_fetch: bool = True,
+        rebalance_fetch: bool = False,
         use_bloom: bool = False,
         bloom_items_per_bucket: int = config.BLOOM_ITEMS_PER_BUCKET,
         compact_every: int = 16,
@@ -145,10 +145,11 @@ class CrawlEngine:
         # throughput benches may turn them off (scalar metrics remain)
         self.bucket_lineage = bucket_lineage
         # rebalance_fetch: round-robin the fetch-join output before the
-        # python extraction stage. Needed when wave URLs cluster in few
-        # storage partitions (host-correlated selection over a
-        # host-clustered table); skippable when selection is uniform —
-        # it shuffles the whole wave's bytes.
+        # python extraction stage. OFF by default — extraction runs inside
+        # the scan stage, so parallelism comes from scan splits
+        # (maxPartitionBytes, session.py) and the shuffle would move the
+        # whole wave's page bytes for nothing. Turn on only for layouts
+        # whose files can't split (few huge row groups).
         self.rebalance_fetch = rebalance_fetch
         # Bloom seen-set pre-filter (north_rule). Off by default in the
         # sandbox: the exact anti-join is cheaper below ~10^7 frontier rows
@@ -472,30 +473,61 @@ class CrawlEngine:
             urls_selected // 128 + 1,
         ))
 
-        # ---- fetch: broadcast the small wave against the big pages table.
-        # INNER join (either side buildable) — a left-outer can't broadcast
-        # its preserved side; dead links are recovered afterwards by a tiny
-        # anti-join of the wave against the fetched urls, so the 10^10-row
-        # pages table is scanned exactly once and never shuffled.
-        # REPARTITION (not coalesce) after the join: wave URLs correlate
-        # with the pages table's host-clustered layout, so join output
-        # lands in a handful of scan partitions — coalescing would keep
-        # that skew and serialize the python-heavy extraction stage.
+        # ---- fetch+extract, ONE PASS: broadcast the small wave against the
+        # big pages table and run sniff → route → extraction inside the
+        # scan stage itself. INNER join (either side buildable) — a
+        # left-outer can't broadcast its preserved side; dead links are
+        # recovered afterwards by a tiny anti-join of the wave against the
+        # fetched urls, so the 10^10-row pages table is scanned exactly
+        # once and NEVER shuffled, and the page bytes never leave the scan
+        # stage: they cross the Arrow boundary once (html routes only, via
+        # a when() guard) and are dropped before the cache. The earlier
+        # two-pass shape (cache the joined html, then extract from the
+        # cache) tripled the byte traffic — shuffle + cache build + cache
+        # re-read — and quantized the python-heavy extraction into
+        # shuffle.partitions coarse tasks, whose straggler tail idled most
+        # cores at low parallelism (round-4 probe: a 190 s 8-task
+        # extraction stage on 4 cores with a 40 s one-task tail).
+        # Parallelism here comes from SCAN SPLITS — maxPartitionBytes is
+        # sized (session.py) so a wave's pages span hundreds of fine tasks
+        # (~1-2 s of python each), which pack evenly at any core count.
         hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
         if self.rebalance_fetch:
+            # pathological layouts only (few huge files that defeat split
+            # planning): round-robin the joined rows before extraction.
+            # Costs a full shuffle of the wave's page bytes — prefer a
+            # smaller maxPartitionBytes when the table layout allows.
             hits = hits.repartition(npart)
         fetched = (
             hits
             .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
+            .withColumn("_exhtml", F.when(F.col("route") == "html", F.col("html")))
+        )
+        if self.extract_raw:
+            fetched = fetched.withColumn(
+                "raw_webcontent",
+                F.substring(
+                    sniff.decode_utf8_replace(F.col("_exhtml")), 1, config.MAX_WEBCONTENT_SIZE
+                ),
+            )
+        fetched = (
+            udfs.with_extraction(fetched, html_col="_exhtml", url_col="url")
+            .drop("_exhtml")
+            # the only post-extraction consumer of page bytes is the
+            # plain-text decode in _build_crawled — html/binary routes
+            # drop theirs here so the cache holds text, not payloads
+            .withColumn("html", F.when(F.col("route") == "plain_text", F.col("html")))
         ).cache()
-        # ACTION 1b: populate the fetched cache BEFORE anything else refers
-        # to it — the broadcast-exchange job for `missing` is otherwise
-        # submitted concurrently with the main write job and both recompute
-        # the scan+shuffle+route pipeline instead of sharing the cache.
-        fetched.count()
         mark("t_fetch")
+        # ACTION 1: populate the cache once — every downstream consumer
+        # (missing anti-join, crawled write, email branch, link pipeline)
+        # reads extraction RESULTS from the InMemoryRelation; without the
+        # explicit materialization AQE submits their query stages
+        # concurrently and each recomputes the scan+extract pipeline.
+        fetched.count()
+        mark("t_extract")
         missing = (
             wave_df.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
             .withColumn("html", F.lit(None).cast("binary"))
@@ -504,24 +536,7 @@ class CrawlEngine:
             .withColumn("route", F.lit("missing"))
         )
 
-        html_rows_in = fetched.filter(F.col("route") == "html")
-        if self.extract_raw:
-            html_rows_in = html_rows_in.withColumn(
-                "raw_webcontent",
-                F.substring(
-                    sniff.decode_utf8_replace(F.col("html")), 1, config.MAX_WEBCONTENT_SIZE
-                ),
-            )
-        html_pages = udfs.with_extraction(
-            html_rows_in, html_col="html", url_col="url"
-        ).drop("html").cache()
-
-        # ACTION 1c: materialize extraction once — the crawled write, the
-        # email branch and the link pipeline all read html_pages; without
-        # an explicit materialization AQE submits their query stages
-        # concurrently and each recomputes the pandas-UDF extraction.
-        html_pages.count()
-        mark("t_extract")
+        html_pages = fetched.filter(F.col("route") == "html")
         raw_links = html_pages.select(
             F.col("url").alias("parent_url"),
             F.col("host").alias("parent_host"),
@@ -530,7 +545,8 @@ class CrawlEngine:
         ).cache()
 
         # ---- crawled rows (A4 schema, reference §1.1b) — ACTION 2 (write)
-        crawled_all = self._build_crawled(fetched, html_pages, missing, raw_links, wave)
+        crawled_all = self._build_crawled(fetched, html_pages, missing, raw_links, wave,
+                                          fused=True)
         obs_crawl = Observation()
         crawled_all = crawled_all.observe(
             obs_crawl,
@@ -875,7 +891,8 @@ class CrawlEngine:
         return {"wave": wave, "op": "cleanup", "deleted": deleted, "rules": counts}
 
     # ----------------------------------------------------- crawled assembly
-    def _build_crawled(self, fetched, html_pages, missing, raw_links, wave: int) -> DataFrame:
+    def _build_crawled(self, fetched, html_pages, missing, raw_links, wave: int,
+                       fused: bool = False) -> DataFrame:
         """A4-schema rows, JOIN-FREE: the extraction output already carries
         every fetched column, so html rows, non-html rows, dead links and
         email records are four unions over a MINIMAL common shape — the
@@ -923,19 +940,33 @@ class CrawlEngine:
         # the fast pass (html_pages=None) an html-sniffed row is recorded
         # visited WITHOUT extraction (reference fast pass defers those to
         # the full crawl) — it must not vanish from crawled
-        non_html = fetched if html_pages is None else fetched.filter(F.col("route") != "html")
-        rows = shape(
-            non_html,
-            plain_text, udfs.top_words(plain_text),
-            F.lit(False), F.lit(""), other_source,
-        )
-        if html_pages is not None:
+        if fused:
+            # wave path: `fetched` already carries the extraction columns
+            # (computed in the scan pass), so one route-conditional
+            # projection replaces two full scans of the cache
+            is_html = F.col("route") == "html"
             rows = shape(
-                html_pages,
-                F.col("text_extracted"), F.col("words"),
-                F.col("isopendir"), F.col("opendir_pattern"),
-                F.lit("content_type_download"),
-            ).unionByName(rows)
+                fetched,
+                F.when(is_html, F.col("text_extracted")).otherwise(plain_text),
+                F.when(is_html, F.col("words")).otherwise(udfs.top_words(plain_text)),
+                F.when(is_html, F.col("isopendir")).otherwise(F.lit(False)),
+                F.when(is_html, F.col("opendir_pattern")).otherwise(F.lit("")),
+                F.when(is_html, F.lit("content_type_download")).otherwise(other_source),
+            )
+        else:
+            non_html = fetched if html_pages is None else fetched.filter(F.col("route") != "html")
+            rows = shape(
+                non_html,
+                plain_text, udfs.top_words(plain_text),
+                F.lit(False), F.lit(""), other_source,
+            )
+            if html_pages is not None:
+                rows = shape(
+                    html_pages,
+                    F.col("text_extracted"), F.col("words"),
+                    F.col("isopendir"), F.col("opendir_pattern"),
+                    F.lit("content_type_download"),
+                ).unionByName(rows)
         missing_rows = shape(
             missing,
             F.lit(None).cast("string"), F.lit(None).cast("array<string>"),

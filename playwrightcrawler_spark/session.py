@@ -59,6 +59,9 @@ def get_spark(
         builder = (
             builder.config("spark.eventLog.enabled", "true")
             .config("spark.eventLog.dir", evlog)
+            # plain JSON so offline tooling can parse without zstd bindings
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -345,10 +345,19 @@ def write_pages_scaled(
     paragraphs: int = 12,
     include_assets: bool = True,
     next_links: int = 3,
+    n_files: int | None = None,
 ) -> int:
     """Deterministic link graph: page p on host h links to the next page on
     its host, two hash-derived cross-host pages, and static assets. HTML is
-    a few KB so the extraction UDF does realistic work."""
+    a few KB so the extraction UDF does realistic work.
+
+    ``n_files``: range-partition the output by url into this many files.
+    Scan-split granularity IS extraction parallelism (the engine fuses the
+    pandas-UDF extraction into the scan stage), and parquet effectively
+    splits at row-group boundaries — a handful of single-row-group files
+    caps the whole crawl at that many tasks no matter the core count.
+    Range partitioning (not round-robin) keeps the host-clustered layout a
+    Common-Crawl-style corpus really has."""
     from pyspark.sql import functions as F
 
     n = n_hosts * pages_per_host
@@ -409,6 +418,8 @@ def write_pages_scaled(
     if include_assets:
         out = out.unionByName(assets)
         n += n_hosts * 6
+    if n_files:
+        out = out.repartitionByRange(n_files, "url")
     out.write.mode("overwrite").parquet(path)
     return n
 
