@@ -39,10 +39,33 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # RIGHT-SIZED and PRE-COMMITTED heap. The wave pipeline no longer
+        # caches page bytes, so 12g covers engine + analytics workloads
+        # with headroom — and a giant lazily-committed heap is actively
+        # harmful on VMs: G1 keeps growing/shrinking toward Xmx,
+        # continuously uncommitting and re-faulting pages, and each fault
+        # is EPT-expensive under virtualization (round-4 probe: the JVM
+        # burned 19 CPU cores of pure SYSTEM time in exc_page_fault at
+        # local[32]; pinning Xms=Xmx took the crawl bench from 247 to
+        # 749 urls/s). On a real cluster set executor memory to what the
+        # workload needs and keep -Xms=-Xmx for the same reason.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '12g')}",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch cap bounds JVM-side buffering, not just python peak
+        # memory: every task holds a full batch of rows (html bytes!) in
+        # young gen until flush, so at 100-200 KB/page a 2048-row cap is
+        # ~400 MB in flight PER TASK — at 32 concurrent tasks that is a
+        # G1 evacuation storm (round-4 probe: 330 s GC inside the
+        # extraction stage at local[32] vs 8 s at local[8]). 256 rows
+        # (~50 MB/task at CC page weight) keeps GC flat at any core
+        # count while still amortizing per-batch pandas overhead.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # small enough that a wave-sized html scan still splits across all
@@ -53,6 +76,11 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
     )
+    # ad-hoc A/B knobs without code edits: "k=v;k=v"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     evlog = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if evlog:
         os.makedirs(evlog, exist_ok=True)
