@@ -214,12 +214,20 @@ def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float]]:
     return timings, total, pass_totals
 
 
+def _corpus_tag() -> str:
+    return f"{N_HOSTS}x{PAGES_PER_HOST}x{PARAGRAPHS}w{WAVE_SIZE}"
+
+
 def _history(result: dict) -> list[dict]:
-    """Append this run to BENCH/history.jsonl and return all runs. The
+    """Append this run to BENCH/history.jsonl and return the runs whose
+    corpus shape matches the current one — best-of-history numbers are
+    only meaningful against the SAME corpus (page weight changed across
+    rounds; comparing against lighter-page eras would inflate them). The
     sandbox host carries fluctuating interference (identical runs vary up
     to 2x), and interference only slows runs — so best-across-history is
     the least-contaminated capability estimate reported next to the
     latest numbers."""
+    result["corpus"] = _corpus_tag()
     hist_path = REPO / "BENCH" / "history.jsonl"
     hist_path.parent.mkdir(exist_ok=True)
     with open(hist_path, "a") as fh:
@@ -227,9 +235,11 @@ def _history(result: dict) -> list[dict]:
     out = []
     for line in hist_path.read_text().splitlines():
         try:
-            out.append(json.loads(line))
+            h = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if h.get("corpus") == result["corpus"]:
+            out.append(h)
     return out
 
 
@@ -354,6 +364,18 @@ def write_baseline_md(result: dict) -> None:
         "  month-partitioned crawled writes with partition pruning.",
         "- Remaining Iceberg-only lever: bucket(url) layout + bloom",
         "  row-group skipping for the per-wave pages scan.",
+        "- JVM sizing (round 4): a big lazily-committed heap is actively",
+        "  harmful on VMs — G1's grow/shrink toward Xmx re-faults pages",
+        "  continuously (19 cores of system time at local[32]). The",
+        "  session pins -Xms=-Xmx at a right-sized 12g; same guidance",
+        "  applies to executor JVMs on a real cluster.",
+        "- Scaling beyond the pair: 8→32 efficiency is ~0.45 on this VM",
+        "  (hypervisor steal grows with width — the 32-wide spin probe",
+        "  shows ~10% steal vs 0.5% at 8-wide — plus python extraction",
+        "  per-page cost rises ~20% at 32 workers, microbenched). The",
+        "  committed 2→8 pair measures the engine inside the VM's",
+        "  honest-delivery envelope; on a real cluster the unit of",
+        "  scale is executors on separate hosts.",
     ]
     out.write_text("\n".join(lines) + "\n")
 
