@@ -77,12 +77,14 @@ WAVE_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_WAVE", "40000"))
 # granularity is the faithful shape, not a bench trick.
 N_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "240"))
 
-# scaling pair: N=2 → 4N=8 cores (both pairs measured under the round-4
-# protocol — see BENCH/history.jsonl for the recorded 1→4 alternative; the
-# committed pair is the one with completed runs behind it). The sandbox VM
-# delivers ~linear scaling up to ~8-16 threads but is contention-capped
-# beyond that (load from the host), so 8→32 would measure the box, not
-# the engine.
+# scaling pair: N=2 → 4N=8 cores. BOTH candidate pairs were measured
+# clean on the final round-4 code (pinned, idle-gated, BENCH/
+# explore_r4.jsonl): 1→4 = 56.97→216.66 urls/s (eff 0.951), 2→8 =
+# 107.78→414.51 (eff 0.961) — the pair choice is not load-bearing; 2→8
+# is committed because its low leg is half the wall-time and the high
+# leg still sits inside the VM's honest-delivery envelope (steal ~0.5%
+# at 8-wide vs ~10% at 32-wide, so 8→32 would measure the hypervisor,
+# not the engine).
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 
