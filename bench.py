@@ -94,9 +94,13 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 # evidence). The protocol degrades K toward 1 sample per level when the
 # budget is tight but ALWAYS runs one sample at each scaling level, so the
 # scaling block is always emitted.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1800"))
-# reserved tail for the headline-query section (+ final bookkeeping)
-RESERVE_S = float(os.environ.get("SPARK_GRAFT_BENCH_RESERVE_S", "240"))
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1680"))
+# reserved tail for the headline-query section (+ final bookkeeping).
+# rehearsal data: 3 query passes + gates took ~260 s, and a crawl sample
+# admitted just under the old 240 s reserve pushed total elapsed to 1768
+# of an 1800 budget — 300 s keeps worst-case completion inside BUDGET_S
+# with margin for the pre-timing process startup
+RESERVE_S = float(os.environ.get("SPARK_GRAFT_BENCH_RESERVE_S", "300"))
 # prior estimates (seconds) for the first sample at each CPU level, used
 # before a measured duration exists; the first sample additionally pays
 # fixture generation when the /tmp cache is cold

@@ -695,7 +695,7 @@ class CrawlEngine:
         )  # ACTION 5 (driver-local)
         mark("t_metrics")
 
-        unp = [selected, fetched, html_pages, raw_links]
+        unp = [selected, fetched, raw_links]  # html_pages is a view of fetched
         if self.bucket_lineage:
             unp.append(insert_rows)
         for df in unp:
