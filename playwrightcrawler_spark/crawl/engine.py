@@ -754,6 +754,13 @@ class CrawlEngine:
             self._pages().join(F.broadcast(sel), on="url", how="inner")
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
+            # cache hygiene (same rule as the wave): the only downstream
+            # consumers of payload bytes are the plain-text decode and the
+            # html-mismatch extraction fallback — a fast-pass wave is
+            # mostly binary assets whose bytes would otherwise sit in the
+            # cache for nothing (the byte sink is the downloader
+            # operator's write_root path, not this pass)
+            .withColumn("html", F.when(F.col("route").isin("plain_text", "html"), F.col("html")))
         ).cache()
         fetched.count()  # populate before dependent jobs (broadcast races)
         missing = (
