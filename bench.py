@@ -122,7 +122,13 @@ def _pages_cache(spark) -> str:
     return path
 
 
-def _idle_gate(max_wait: float = 90, thresh: float = 1.0) -> float:
+# a sample is CLEAN when the pre-run 1-min loadavg cleared this threshold
+# (round-4 verdict #2: the official efficiency quotient must prefer clean
+# samples — a contaminated low leg runs slow and INFLATES the ratio)
+IDLE_THRESH = 1.0
+
+
+def _idle_gate(max_wait: float = 90, thresh: float = IDLE_THRESH) -> float:
     """Wait (bounded) for the 1-min loadavg to decay below ``thresh``
     before a timed run — it includes our own just-finished subprocesses
     as well as external interference bursts."""
@@ -164,8 +170,14 @@ def run_crawl_bench(cpus: int) -> dict:
     # scale): the timed wave is pure fetch+extract+discover+commit work,
     # not bounded by the synthetic graph's discovery rate
     eng.bootstrap(pages_gen.bench_all_page_urls(N_HOSTS, PAGES_PER_HOST))
-    eng.wave_size = 1500
-    eng.run(1)  # warmup wave: JIT/codegen/python-worker spin-up, untimed
+    # warmup wave: JIT/codegen/python-worker spin-up, untimed. Sized so the
+    # extraction stage spans >= cpus scan splits (~100 KB/page, 16 MB
+    # splits ≈ 160 pages/task): a fixed 1500-page warmup only forked ~10
+    # python workers, so at local[32] the TIMED wave paid daemon forks +
+    # first-use numpy/pandas imports for the other ~22 workers — a cost
+    # local[8] never saw (part of the round-4 @32 median spread).
+    eng.wave_size = max(1500, cpus * 250)
+    eng.run(1)
     eng.wave_size = WAVE_SIZE
 
     t0 = time.time()
@@ -216,8 +228,86 @@ def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float]]:
                 timings[name] = dt
         pass_totals.append(round(ptotal, 3))
     total = round(sum(timings.values()), 3)
+    # plan-regression fields, computed in the same session (untimed)
+    plans = plan_guard(spark, qmap)
     spark.stop()
-    return timings, total, pass_totals
+    return timings, total, pass_totals, plans
+
+
+def _plan_fields(df) -> dict:
+    from playwrightcrawler_spark.plans import audit
+
+    return {
+        "shuffles": audit.shuffle_count(df),
+        "codegen": audit.wholestage_codegen_ids(df),
+        "arrow_only": audit.uses_arrow_udfs_only(df),
+    }
+
+
+# the queries whose physical plans the bench guards (top-3 headline by
+# wall time, round-4 verdict #5); the wave hot path is guarded separately
+PLAN_GUARD_QUERIES = ("minhash_lsh_pairs", "minhash_lsh_pairs_xxh", "embedding_near_dup")
+
+
+def plan_guard(spark, qmap, pages_path: str | None = None,
+               sf_dir: str | None = None) -> dict:
+    """Physical-plan regression fields for the bench record: shuffle count,
+    whole-stage-codegen region count, and Arrow-only python eval for the
+    wave hot path and the top-3 headline queries. One ``explain`` each —
+    a refactor that reintroduces a shuffle or a row-at-a-time
+    BatchEvalPython node fails loudly here instead of surfacing as a
+    silent throughput drop. Today's values are pinned in
+    tests/test_plan_guard.py."""
+    from pyspark.sql import functions as F
+
+    from playwrightcrawler_spark.crawl.engine import CrawlEngine
+
+    out = {}
+    for name in PLAN_GUARD_QUERIES:
+        out[name] = _plan_fields(qmap[name](spark, sf_dir or SF_DIR))
+    pages = pages_path or _pages_cache(spark)
+    wh = tempfile.mkdtemp(prefix="pwc_planaudit_")
+    try:
+        eng = CrawlEngine(spark, pages, wh, method_weights={"oldest": 1})
+        # no .limit() here — a global limit plans an Exchange SinglePartition
+        # on the (broadcast) wave side and would pollute the shuffle count;
+        # the plan is audited, never executed, so size doesn't matter
+        wave_df = (
+            spark.read.parquet(pages).select("url")
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("host", F.lit("h"))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovered_at", F.current_timestamp())
+        )
+        out["crawl_wave"] = _plan_fields(eng._fused_fetch_extract(wave_df, npart=8))
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+def compact_record(result: dict) -> dict:
+    """The printed contract line. The driver captures only the LAST 2000
+    bytes of bench stdout, so the round-4 record — rc=0, full data — was
+    still ``parsed: null`` because the line ran 2,055 bytes (round-4
+    verdict #1). Contract fields only; bulky diagnostics (per-attempt
+    loads, phase_seconds, per-pass totals) live in BENCH/history.jsonl.
+    tests/test_bench_contract.py pins the serialized length < 1800."""
+
+    def slim(run: dict | None) -> dict | None:
+        if not run:
+            return run
+        keep = ("cpus", "urls_fetched", "seconds", "urls_per_sec",
+                "load_1m_before", "load_gate_passed")
+        return {k: run[k] for k in keep if k in run}
+
+    out = {k: v for k, v in result.items()
+           if k not in ("headline_pass_totals", "corpus")}
+    out["crawl"] = slim(result.get("crawl"))
+    if "scaling" in result:
+        s = {k: v for k, v in result["scaling"].items() if k != "attempts"}
+        s["low"], s["high"] = slim(s.get("low")), slim(s.get("high"))
+        out["scaling"] = s
+    return out
 
 
 def _corpus_tag() -> str:
@@ -411,10 +501,17 @@ def main() -> None:
     last_dur: dict[int, float] = {}
     scaling_error = None
 
+    def _clean(c: int) -> list[dict]:
+        return [r for r in runs.get(c, []) if r.get("load_gate_passed")]
+
     def _one(c: int) -> bool:
         nonlocal scaling_error
         t_s0 = time.time()
-        load = _idle_gate(max_wait=min(90.0, max(0.0, deadline - time.time())))
+        # the low leg steers the efficiency quotient the wrong way when
+        # contaminated (slow low leg → inflated ratio): until a clean low
+        # sample exists, give its idle gate double the patience
+        gate_wait = 180.0 if (c == SCALE_LOW and not _clean(c)) else 90.0
+        load = _idle_gate(max_wait=min(gate_wait, max(0.0, deadline - time.time())))
         # taskset pins the WHOLE process tree (JVM + python workers) to
         # exactly c CPUs: local[c] alone only caps JVM task slots, and the
         # out-of-process python workers would otherwise use extra cores
@@ -431,12 +528,22 @@ def main() -> None:
             scaling_error = proc.stderr[-500:]
             return False
         r["load_1m_before"] = round(load, 2)
-        attempts.append({k: r.get(k) for k in ("cpus", "urls_per_sec", "seconds", "load_1m_before")})
+        # the gate either returned early (load < IDLE_THRESH) or expired
+        # with the box still busy — record which, per sample, so a
+        # contaminated quotient is visible in the JSON (round-4 verdict #2)
+        r["load_gate_passed"] = load < IDLE_THRESH
+        attempts.append({k: r.get(k) for k in (
+            "cpus", "urls_per_sec", "seconds", "load_1m_before", "load_gate_passed")})
         runs.setdefault(c, []).append(r)
         return True
 
-    def _best(c: int) -> dict | None:
-        return max(runs.get(c, []), key=lambda r: r["urls_per_sec"], default=None)
+    def _best(c: int, prefer_clean: bool = False) -> dict | None:
+        """Best-of-K; with ``prefer_clean`` the pool is restricted to
+        idle-gated samples when any exist (efficiency quotient only — for
+        raw throughput interference can only slow a run, so best-of-all
+        IS best-of-clean-or-better)."""
+        pool = (_clean(c) or runs.get(c, [])) if prefer_clean else runs.get(c, [])
+        return max(pool, key=lambda r: r["urls_per_sec"], default=None)
 
     def _median_rate(c: int) -> float | None:
         rs = sorted(r["urls_per_sec"] for r in runs.get(c, []))
@@ -451,7 +558,12 @@ def main() -> None:
     # present), later rounds run only while the budget allows them
     skipped = 0
     for rnd in range(rounds):
-        for c in levels:
+        # rounds > 0 run cheapest-first (ascending cores): under budget
+        # pressure the SECOND low-leg sample lands before the third
+        # high-leg one — the low leg is the sample whose contamination
+        # inflates the efficiency quotient (round-4 verdict #2)
+        order = levels if rnd == 0 else sorted(levels)
+        for c in order:
             est = last_dur.get(c, _PRIOR_SAMPLE_S.get(c, 300.0))
             if rnd > 0 and time.time() + est > deadline - RESERVE_S:
                 skipped += 1
@@ -464,7 +576,7 @@ def main() -> None:
         sys.exit(1)
     _idle_gate(max_wait=min(60.0, max(0.0, deadline - time.time())))
     qpasses = 3 if time.time() + 150 < deadline else 1
-    queries, total, pass_totals = run_headline_queries(passes=qpasses)
+    queries, total, pass_totals, plans = run_headline_queries(passes=qpasses)
 
     result = {
         "metric": "urls_crawled_extracted_per_sec",
@@ -476,6 +588,7 @@ def main() -> None:
         "headline_pass_totals": pass_totals,
         "crawl": crawl,
         "crawl_median_urls_per_sec": _median_rate(CPUS),
+        "plans": plans,
         "budget": {
             "budget_s": BUDGET_S,
             "elapsed_s": round(time.time() - t_bench0, 1),
@@ -488,7 +601,13 @@ def main() -> None:
 
     if not fast and SCALE_LOW in runs and SCALE_HIGH in runs:
         factor = SCALE_HIGH / SCALE_LOW
-        lo_best, hi_best = _best(SCALE_LOW), _best(SCALE_HIGH)
+        # clean samples steer the quotient (round-4 verdict #2): the
+        # official 1.016 rested on a low leg measured at load 2.29 — slow,
+        # so the ratio was inflated. When every sample at a level is
+        # contaminated the best contaminated one is used and the per-leg
+        # *_clean flag in the JSON says so explicitly.
+        lo_best = _best(SCALE_LOW, prefer_clean=True)
+        hi_best = _best(SCALE_HIGH, prefer_clean=True)
         lo_med, hi_med = _median_rate(SCALE_LOW), _median_rate(SCALE_HIGH)
         result["scaling"] = {
             "low": lo_best,
@@ -497,13 +616,18 @@ def main() -> None:
             "efficiency": round(hi_best["urls_per_sec"] / lo_best["urls_per_sec"] / factor, 3)
             if lo_best["urls_per_sec"] else None,
             "efficiency_median": round(hi_med / lo_med / factor, 3) if lo_med else None,
+            "low_clean": bool(lo_best.get("load_gate_passed")),
+            "high_clean": bool(hi_best.get("load_gate_passed")),
             "attempts": attempts,
         }
     elif scaling_error:
         result["scaling_error"] = scaling_error
 
     write_baseline_md(result)
-    print(json.dumps(result))
+    # the FULL record (attempts, phase_seconds, pass totals) is in
+    # BENCH/history.jsonl via write_baseline_md; stdout gets the compact
+    # contract line the driver can actually capture (< 1800 bytes)
+    print(json.dumps(compact_record(result)))
 
 
 if __name__ == "__main__":

@@ -388,6 +388,45 @@ class CrawlEngine:
         return n
 
     # ------------------------------------------------------------- one wave
+    def _fused_fetch_extract(self, wave_df: DataFrame, npart: int) -> DataFrame:
+        """The wave hot path, unexecuted: broadcast the (small) wave against
+        the pages table and run sniff → route → extraction inside the scan
+        stage itself — one pages scan, zero shuffles, one Arrow crossing
+        (html routes only), payload bytes dropped unless a downstream route
+        consumes them. A named method (round-4 verdict #5) so plan audits —
+        the bench plan-guard and tests — can assert the physical shape
+        (BroadcastHashJoin, no Exchange, ArrowEvalPython only) without
+        running a wave; run_wave caches the returned frame."""
+        hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
+        if self.rebalance_fetch:
+            # pathological layouts only (few huge files that defeat split
+            # planning): round-robin the joined rows before extraction.
+            # Costs a full shuffle of the wave's page bytes — prefer a
+            # smaller maxPartitionBytes when the table layout allows.
+            hits = hits.repartition(npart)
+        fetched = (
+            hits
+            .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
+            .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
+            .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
+            .withColumn("_exhtml", F.when(F.col("route") == "html", F.col("html")))
+        )
+        if self.extract_raw:
+            fetched = fetched.withColumn(
+                "raw_webcontent",
+                F.substring(
+                    sniff.decode_utf8_replace(F.col("_exhtml")), 1, config.MAX_WEBCONTENT_SIZE
+                ),
+            )
+        return (
+            udfs.with_extraction(fetched, html_col="_exhtml", url_col="url")
+            .drop("_exhtml")
+            # the only post-extraction consumer of page bytes is the
+            # plain-text decode in _build_crawled — html/binary routes
+            # drop theirs here so the cache holds text, not payloads
+            .withColumn("html", F.when(F.col("route") == "plain_text", F.col("html")))
+        )
+
     def run_wave(self, wave: int) -> dict:
         t0 = time.time()
         tmarks = {}
@@ -491,35 +530,7 @@ class CrawlEngine:
         # Parallelism here comes from SCAN SPLITS — maxPartitionBytes is
         # sized (session.py) so a wave's pages span hundreds of fine tasks
         # (~1-2 s of python each), which pack evenly at any core count.
-        hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
-        if self.rebalance_fetch:
-            # pathological layouts only (few huge files that defeat split
-            # planning): round-robin the joined rows before extraction.
-            # Costs a full shuffle of the wave's page bytes — prefer a
-            # smaller maxPartitionBytes when the table layout allows.
-            hits = hits.repartition(npart)
-        fetched = (
-            hits
-            .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
-            .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
-            .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
-            .withColumn("_exhtml", F.when(F.col("route") == "html", F.col("html")))
-        )
-        if self.extract_raw:
-            fetched = fetched.withColumn(
-                "raw_webcontent",
-                F.substring(
-                    sniff.decode_utf8_replace(F.col("_exhtml")), 1, config.MAX_WEBCONTENT_SIZE
-                ),
-            )
-        fetched = (
-            udfs.with_extraction(fetched, html_col="_exhtml", url_col="url")
-            .drop("_exhtml")
-            # the only post-extraction consumer of page bytes is the
-            # plain-text decode in _build_crawled — html/binary routes
-            # drop theirs here so the cache holds text, not payloads
-            .withColumn("html", F.when(F.col("route") == "plain_text", F.col("html")))
-        ).cache()
+        fetched = self._fused_fetch_extract(wave_df, npart).cache()
         mark("t_fetch")
         # ACTION 1: populate the cache once — every downstream consumer
         # (missing anti-join, crawled write, email branch, link pipeline)

@@ -15,6 +15,7 @@ IDENTICAL column names and types. Determinism rules used throughout:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -496,7 +497,12 @@ def q_crawl_wave(spark, sf_dir):
     the opendir pytest suite; robots compliance by the engine tests."""
     from playwrightcrawler_spark.crawl.engine import CrawlEngine
 
-    wh = tempfile.mkdtemp(prefix="pwc_wave_")
+    # content-addressed warehouse, wiped and rebuilt per invocation
+    # (round-4 verdict hygiene #3: mkdtemp trees accumulated under /tmp
+    # across correctness/bench runs). The previous invocation's frame is
+    # always materialized before the next call runs, so the wipe is safe.
+    wh = os.path.join(tempfile.gettempdir(), "pwc_wave_wh")
+    shutil.rmtree(wh, ignore_errors=True)
     pages_path = _fixture_pages(spark)
     eng = CrawlEngine(spark, pages_path, wh, wave_size=200, per_host_quota=3,
                       use_bloom=True, bloom_items_per_bucket=2000,
