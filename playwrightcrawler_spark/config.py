@@ -29,6 +29,14 @@ EXTRACT_RAW_WEBCONTENT = False
 EXTRACT_MIN_WEBCONTENT = True
 MAX_WEBCONTENT_SIZE = 900_000
 
+# Reference-exact decode lane (playwrightcrawler.py:5091-5099): run the
+# charset detector BEFORE any decode attempt, so UTF-8-valid bytes that the
+# detector classifies as e.g. windows-1252 decode exactly as the reference
+# decodes them. Default off: the deterministic ladder (BOM -> strict UTF-8
+# -> declared charset -> detector) is faster and detector-independent for
+# the overwhelmingly common UTF-8 case.
+DECODE_DETECTOR_FIRST = os.environ.get("SPARK_GRAFT_DETECTOR_FIRST", "0") == "1"
+
 # ---------------------------------------------------------------------------
 # URL hygiene (reference config.py:192-220)
 # ---------------------------------------------------------------------------

@@ -68,7 +68,21 @@ _VOID_TAGS = frozenset({
 _META_CHARSET_RX = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 
-def detect_decode(raw: bytes) -> str:
+def _detect_encoding(raw: bytes):
+    """The detector rung, shared by both ladder orders: chardet when
+    installed (the reference's library, playwrightcrawler.py:5092), else
+    charset_normalizer, else None. Module-level so parity tests can pin a
+    specific detector verdict without either package installed."""
+    if _HAVE_CHARDET:
+        return chardet.detect(raw)["encoding"]
+    if _HAVE_CN:
+        best = _cn_from_bytes(raw).best()
+        if best is not None:
+            return best.encoding
+    return None
+
+
+def detect_decode(raw: bytes, detector_first=None) -> str:
     """Charset-aware bytes → str, mirroring the reference handle_response
     decode (playwrightcrawler.py:5091-5097: ``chardet.detect`` →
     ``decode(enc, errors='replace')``, utf-8 default) with a deterministic
@@ -78,7 +92,22 @@ def detect_decode(raw: bytes) -> str:
         charset_normalizer → UTF-8 with replacement
 
     A Latin-1 or Shift-JIS page therefore yields the decoded text the
-    reference produces, not U+FFFD runs (round-2 verdict #2)."""
+    reference produces, not U+FFFD runs (round-2 verdict #2).
+
+    ``detector_first`` (default ``config.DECODE_DETECTOR_FIRST``) is the
+    reference-exact lane: the detector runs BEFORE any decode, exactly as
+    playwrightcrawler.py:5093-5099 — so bytes that are valid UTF-8 but
+    that the detector classifies as e.g. windows-1252 decode the way the
+    reference decodes them, and an unknown detected encoding yields ``""``
+    (the reference's broad ``except`` sets ``content = ""``)."""
+    if detector_first is None:
+        detector_first = config.DECODE_DETECTOR_FIRST
+    if detector_first:
+        enc = _detect_encoding(raw) or "utf-8"
+        try:
+            return raw.decode(enc, errors="replace")
+        except Exception:  # reference playwrightcrawler.py:5096-5099
+            return ""
     if raw.startswith(b"\xef\xbb\xbf"):
         return raw[3:].decode("utf-8", errors="replace")
     if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
@@ -93,19 +122,12 @@ def detect_decode(raw: bytes) -> str:
             return raw.decode(m.group(1).decode("ascii"), errors="replace")
         except (LookupError, UnicodeDecodeError):
             pass
-    if _HAVE_CHARDET:
-        enc = chardet.detect(raw)["encoding"] or "utf-8"
+    enc = _detect_encoding(raw)
+    if enc:
         try:
             return raw.decode(enc, errors="replace")
         except LookupError:
             pass
-    elif _HAVE_CN:
-        best = _cn_from_bytes(raw).best()
-        if best is not None and best.encoding:
-            try:
-                return raw.decode(best.encoding, errors="replace")
-            except LookupError:  # pragma: no cover
-                pass
     return raw.decode("utf-8", errors="replace")
 
 
