@@ -77,6 +77,27 @@ def make_signature_udf(dim: int, bits: int = 12, seed: int = 42):
     return signature
 
 
+def probe_set(
+    query_vec: list[float], bits: int = 8, seed: int = 42, multiprobe: int = 1
+) -> list[int]:
+    """The query's bucket plus every bucket within ``multiprobe`` bit
+    flips of its hyperplane signature — O(N / 2^bits) of the corpus."""
+    planes = _planes(len(query_vec), bits, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    qsig = int(qbits @ weights)
+    probes = {qsig}
+    if multiprobe >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(bits)}
+    if multiprobe >= 2:
+        probes |= {
+            qsig ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        }
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -92,27 +113,65 @@ def lsh_topk(
     dim = len(query_vec)
     sig_udf = make_signature_udf(dim, bits, seed)
     with_sig = df.withColumn("bucket", sig_udf(F.col(vec_col)))
-
-    planes = _planes(dim, bits, seed)
-    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
-    weights = (1 << np.arange(bits)).astype(np.int64)
-    qsig = int(qbits @ weights)
-    probes = {qsig}
-    if multiprobe >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(bits)}
-    if multiprobe >= 2:
-        probes |= {
-            qsig ^ (1 << b1) ^ (1 << b2)
-            for b1 in range(bits)
-            for b2 in range(b1 + 1, bits)
-        }
-
+    probes = probe_set(query_vec, bits, seed, multiprobe)
     return (
         brute_force_topk(
-            with_sig.filter(F.col("bucket").isin(list(probes))),
+            with_sig.filter(F.col("bucket").isin(probes)),
             query_vec, k, id_col, vec_col,
         )
     )
+
+
+def write_bucketed_signatures(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus hive-partitioned by its hyperplane-signature
+    bucket — the 10^9-vector shape of ``lsh_topk``. Signatures are paid
+    ONCE at ingest (one vectorized matmul pass) instead of per query, and
+    every probe afterwards is partition-pruned at the source: a
+    ``bucket IN (probes)`` filter keeps all but ~(probes/2^bits) of the
+    files out of the scan entirely (asserted in tests via
+    plans/audit.partition_filters + the files-read subset check).
+
+    2^bits directories; at bits=8-12 each holds N/256..N/4096 vectors —
+    directory count stays trivial while probe I/O drops by the same
+    factor. One shuffle (repartition on bucket) so each partition writes
+    exactly one file instead of files × buckets fragments."""
+    dim = df.select(F.size(vec_col)).first()[0]
+    sig_udf = make_signature_udf(dim, bits, seed)
+    (
+        df.select(id_col, vec_col)
+        .withColumn("bucket", sig_udf(F.col(vec_col)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """``lsh_topk`` over a corpus persisted by ``write_bucketed_signatures``:
+    no signature recompute, and the probe filter becomes a partition-pruning
+    predicate on the scan — the query touches only the probed buckets'
+    files. Same (bits, seed) must be used for write and probe."""
+    probes = probe_set(query_vec, bits, seed, multiprobe)
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return brute_force_topk(corpus, query_vec, k, id_col, vec_col)
 
 
 def make_multiband_signature_udf(dim: int, bits: int, bands: int, seed: int):

@@ -485,6 +485,10 @@ ORACLES: dict[str, str] = {
         FROM documents WHERE len({_TOKS}) > 0
     """,
     "embedding_lsh_topk": _lsh_topk_oracle(),
+    # persisted-bucket variant probes the same signatures with the same
+    # probe set — the answer is identical by construction, so it shares
+    # the recompute-everything oracle
+    "embedding_lsh_topk_bucketed": _lsh_topk_oracle(),
     "ngram_jaccard": f"""
         WITH corpus AS ({_DOCS_WITH_COPIES}),
         {_SIG_SQL},

@@ -34,6 +34,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """The predicates applied as hive-partition pruning at the source —
+    directories these reject are never opened, let alone scanned."""
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", physical_plan(df)):
+        if m.group(1).strip():
+            out.extend(p.strip() for p in m.group(1).split(","))
+    return out
+
+
 def read_schema_columns(df: DataFrame) -> set[str]:
     """Columns actually read from parquet (column pruning evidence)."""
     cols: set[str] = set()

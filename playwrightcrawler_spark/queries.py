@@ -352,6 +352,46 @@ def q_embedding_near_dup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _bucketed_emb_path(sf_dir: str, bits: int, seed: int) -> str:
+    """Content-addressed location for the bucket-partitioned embeddings
+    table: keyed on the source fixture's file inventory (name/size/mtime)
+    plus the signature parameters, so a regenerated fixture or changed
+    (bits, seed) can never hit a stale cache."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"{src}:{st.st_size}:{st.st_mtime_ns};".encode())
+    h.update(f"bits={bits};seed={seed};v1".encode())
+    return os.path.join(
+        tempfile.gettempdir(), f"pwc_emb_buckets_{h.hexdigest()[:16]}"
+    )
+
+
+def q_embedding_lsh_topk_bucketed(spark, sf_dir):
+    """[ann:lsh-persisted] the 10^9-vector shape of embedding_lsh_topk:
+    signatures paid once at ingest into a table hive-partitioned by
+    bucket (round-4 verdict #4), so the probe filter partition-prunes the
+    scan — only ~|probes|/2^bits of the files are opened per query
+    (plan-asserted in tests/test_similarity.py). Same oracle as
+    embedding_lsh_topk: identical probes over identical signatures must
+    return the identical exact-cosine top-k."""
+    path = _bucketed_emb_path(sf_dir, bits=8, seed=42)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.write_bucketed_signatures(
+            _t(spark, sf_dir, "embeddings"), path, bits=8, seed=42
+        )
+    return similarity.lsh_topk_bucketed(
+        spark, path, _query_vec(spark, sf_dir), k=20, bits=8, multiprobe=2
+    )
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     """[ann:lsh] bucketed ANN — the scale path for 10^9 vectors. Oracle
     (round-3 verdict #4): the hyperplane matrix is seeded and emitted as
@@ -571,6 +611,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_lsh_topk_bucketed": q_embedding_lsh_topk_bucketed,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
