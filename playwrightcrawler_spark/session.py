@@ -67,6 +67,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PINNED, not assumed (round-4 verdict #6): daemon workers must be
+        # reused across tasks or every wave re-pays fork + numpy/pandas
+        # import per task — at local[32] that cost lands inside the timed
+        # wave for whichever workers the warmup didn't fork. True is the
+        # Spark default; pinning guards against env/packaging overrides
+        # and lets tests assert the effective value.
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         # small enough that a wave-sized html scan still splits across all
         # cores (a 1 GB corpus at the 128 MB default is 8 tasks — extraction

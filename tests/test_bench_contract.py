@@ -24,6 +24,7 @@ def _padded_result() -> dict:
             "t_select", "t_fetch", "t_extract", "t_crawled", "t_frontier",
             "t_buckets", "t_metrics")},
         "load_1m_before": 12.29,
+        "steal_pct_before": 10.25,
         "load_gate_passed": False,
     }
     plans = {
@@ -67,6 +68,7 @@ def test_compact_strips_bulk_and_keeps_contract():
         assert "phase_seconds" not in leg
         # contamination accounting stays visible per leg (verdict #2)
         assert "load_1m_before" in leg and "load_gate_passed" in leg
+        assert "steal_pct_before" in leg
     # contract fields the judge/driver read
     for key in ("metric", "value", "unit", "queries", "sf",
                 "headline_total_sec", "crawl", "plans", "budget", "scaling"):

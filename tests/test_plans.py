@@ -36,6 +36,14 @@ def test_fetch_join_is_broadcast(spark, pages_dir):
     assert audit.shuffle_count(joined) == 0
 
 
+def test_python_workers_are_reused(spark):
+    """Daemon python workers must be reused across tasks (round-4 verdict
+    #6): with reuse off every task re-pays fork + numpy/pandas import,
+    which lands inside the timed wave at high core counts. Asserted on
+    the effective session conf, not the builder arg."""
+    assert spark.conf.get("spark.python.worker.reuse") == "true"
+
+
 def test_extraction_is_arrow_vectorized(spark, pages_dir):
     from playwrightcrawler_spark.functions import udfs
 
