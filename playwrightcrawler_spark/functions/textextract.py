@@ -226,6 +226,214 @@ def _walk(html: str) -> _TextAndLinkWalker:
 _LINK_ATTR = {"a": "href", "link": "href", "script": "src", "img": "src"}
 
 
+# ---------------------------------------------------------------------------
+# Fast scanner — a hot-path replacement for the HTMLParser walk above.
+#
+# The stdlib walk costs ~50% of the fused extraction kernel (~6 ms of a
+# 100 KB page's ~11 ms) because HTMLParser regex-parses the attributes of
+# EVERY tag and pays several Python calls per token. This scanner produces
+# byte-identical (text_parts, links) for well-formed markup by construction:
+# each construct is matched with a STRICT grammar that is a provable subset
+# of the tolerant grammar in html.parser (same source slices, same unescape
+# calls, attrs parsed with html.parser's own attrfind_tolerant — but only
+# for the 4 link-bearing tags), and ANY construct outside the strict subset
+# (junk in a tag, marked sections, unterminated comments, EOF-truncated
+# markup, bogus end tags) raises _Bail, after which the page is re-parsed
+# with the reference _TextAndLinkWalker. Equivalence is pinned by
+# tests/test_textextract.py::test_fast_scan_* on fixtures, on every prefix
+# truncation of them, and on generated adversarial markup.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+from html import parser as _hp
+
+# strict start tag: name + whitespace-separated attrs (quoted or bare
+# values), optional self-closing slash directly before '>'. Anything the
+# stdlib parser would tolerate beyond this (slash-separated attrs, '=' in
+# names, junk before '>') fails the match and bails to the full parser.
+_STRICT_TAG = re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"(?:\s+[^\s/>='\"][^\s/>=]*"
+    r"(?:\s*=\s*(?:'[^']*'|\"[^\"]*\"|[^>\s'\"=]+))?"
+    r")*"
+    r"\s*(/?)>"
+)
+# the exact 'interesting' probe html.parser switches to in cdata mode
+# (set_cdata_mode): when it fires, endtagfind necessarily matches the same
+# element, so the matching-close case is the only one the scan loop needs
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+    for t in HTMLParser.CDATA_CONTENT_ELEMENTS
+}
+
+
+class _Bail(Exception):
+    """Markup outside the strict fast-path subset; re-parse with HTMLParser."""
+
+
+def _fast_attrs(html: str, i: int, endpos: int):
+    """html.parser's exact attribute loop (parse_starttag body), run only
+    for link-bearing tags. Returns the attr list or raises _Bail when the
+    tolerant loop would hit the junk-tag path the strict regex missed."""
+    attrs = []
+    m = _hp.tagfind_tolerant.match(html, i + 1)
+    k = m.end()
+    while k < endpos:
+        am = _hp.attrfind_tolerant.match(html, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or \
+                attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+    if html[k:endpos].strip() not in (">", "/>"):  # pragma: no cover
+        raise _Bail  # tolerant loop diverged from the strict grammar
+    return attrs
+
+
+def _fast_scan(html: str) -> tuple[list[str], list[str]]:
+    """One pass over ``html`` → (text_parts, links), byte-identical to
+    ``_walk`` for markup inside the strict subset; raises _Bail otherwise."""
+    parts: list[str] = []
+    links: list[str] = []
+    seen_links: set[str] = set()
+    stack: list[str] = []
+    blocked = TAG_BLOCKLIST
+    find = html.find
+    n = len(html)
+    i = 0
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            if not stack or stack[-1] not in blocked:
+                parts.append(_unescape(html[i:j]))
+            i = j
+        if i >= n:
+            break
+        c = html[i + 1: i + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = _STRICT_TAG.match(html, i)
+            if not m:
+                raise _Bail
+            tag = m.group(1).lower()
+            want = _LINK_ATTR.get(tag)
+            if want is not None:
+                for name, value in _fast_attrs(html, i, m.end()):
+                    if name == want and isinstance(value, str):
+                        if value not in seen_links:
+                            seen_links.add(value)
+                            links.append(value)
+                        break
+            i = m.end()
+            if not m.group(2):  # plain start tag (self-closing never nests)
+                if tag not in _VOID_TAGS:
+                    stack.append(tag)
+                close_rx = _CDATA_CLOSE.get(tag)
+                if close_rx is not None:
+                    # cdata mode: raw content (never page text — script and
+                    # style are both blocklisted) up to the closing tag;
+                    # an unterminated cdata run is dropped, as in goahead
+                    cm = close_rx.search(html, i)
+                    if cm is None:
+                        return parts, links
+                    if tag in stack:
+                        while stack:
+                            if stack.pop() == tag:
+                                break
+                    i = cm.end()
+        elif c == "/":
+            em = _hp.endtagfind.match(html, i)
+            if em:
+                tag = em.group(1).lower()
+                i = em.end()
+            elif html.startswith("</>", i):
+                i += 3
+                continue
+            else:
+                nm = _hp.tagfind_tolerant.match(html, i + 2)
+                if nm:
+                    tag = nm.group(1).lower()
+                    gt = find(">", nm.end())
+                    if gt < 0:
+                        raise _Bail
+                    i = gt + 1
+                else:
+                    # end-tag-open bogus comment: '</ x>' → comment '/ x'
+                    pos = find(">", i + 2)
+                    if pos < 0:
+                        raise _Bail
+                    if not stack or stack[-1] not in blocked:
+                        parts.append(html[i + 2: pos])
+                    i = pos + 1
+                    continue
+            if tag in stack:
+                while stack:
+                    if stack.pop() == tag:
+                        break
+        elif c == "!":
+            if html.startswith("<!--", i):
+                cm = _hp.commentclose.search(html, i + 4)
+                if not cm:
+                    raise _Bail
+                if not stack or stack[-1] not in blocked:
+                    parts.append(html[i + 4: cm.start()])
+                i = cm.end()
+            elif html.startswith("<![", i):
+                raise _Bail  # marked section (CDATA/conditional): full parser
+            elif html[i: i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                if gt < 0:
+                    raise _Bail
+                data = html[i + 2: gt]
+                # walker handle_decl: bs4 strips the 'DOCTYPE ' prefix
+                if data.startswith("DOCTYPE "):
+                    data = data[len("DOCTYPE "):]
+                elif data == "DOCTYPE":
+                    data = ""
+                if not stack or stack[-1] not in blocked:
+                    parts.append(data)
+                i = gt + 1
+            else:
+                pos = find(">", i + 2)  # bogus comment: '<!x>' → comment 'x'
+                if pos < 0:
+                    raise _Bail
+                if not stack or stack[-1] not in blocked:
+                    parts.append(html[i + 2: pos])
+                i = pos + 1
+        elif c == "?":
+            gt = find(">", i + 2)
+            if gt < 0:
+                raise _Bail
+            if not stack or stack[-1] not in blocked:
+                parts.append(html[i + 2: gt])
+            i = gt + 1
+        else:
+            # lone '<' (also trailing '<' at EOF): literal text datum
+            if not stack or stack[-1] not in blocked:
+                parts.append("<")
+            i += 1
+    return parts, links
+
+
+def _fast_parse(html: str):
+    """(text_parts, links) via the fast scanner, or None when the page
+    falls outside the strict subset and must take the HTMLParser walk."""
+    try:
+        return _fast_scan(html)
+    except _Bail:
+        return None
+    except Exception:  # defensive: the walker path is the behavior oracle
+        return None
+
+
 def parse_html(html: str) -> tuple[list[str], list[str]]:
     """THE single parser-selection point: html string → (text_parts, links).
 
@@ -236,14 +444,22 @@ def parse_html(html: str) -> tuple[list[str], list[str]]:
     reference's requirements.txt ships it) the parse is BeautifulSoup
     ``html.parser`` — the very library the reference uses
     (get_min_webcontent, playwrightcrawler.py:3733-3768); otherwise the
-    stdlib walker above implements the identical spec (pinned to the bs4
-    path by golden fixtures in tests/test_textextract.py).
+    fast scanner handles the well-formed subset and the stdlib walker the
+    rest, both implementing the identical spec (pinned to the bs4 path by
+    golden fixtures in tests/test_textextract.py, and to each other by the
+    test_fast_scan_* equivalence suite).
 
     text_parts are UNSTRIPPED node payloads (callers strip/join per their
     reference op); links are first-seen-order href/src of a/link/script/img.
     """
     if not html:
         return [], []
+    if not _HAVE_BS4:
+        fast = _fast_parse(html)
+        if fast is not None:
+            return fast
+        w = _walk(html)
+        return w.text_parts, w.links
     if _HAVE_BS4:
         soup = BeautifulSoup(html, "html.parser")
         parts = [
@@ -311,8 +527,17 @@ def top_words(
         text = _NON_WORD.sub(" ", text)
     if to_lower:
         text = text.lower()
-    words = [w for w in text.split() if min_len < len(w) <= max_len]
-    return [w for w, _ in Counter(words).most_common(max_words)]
+    # count ALL tokens first, then length-filter the (much smaller) vocab:
+    # identical counts, and filtering a dict preserves first-insertion order,
+    # so most_common's tie ordering over the filtered vocabulary is exactly
+    # the ordering the filtered-list version produced (~3x fewer len calls
+    # on a 14k-token page with a ~500-word vocabulary)
+    counts = Counter(text.split())
+    filtered: Counter = Counter()
+    for w, c in counts.items():
+        if min_len < len(w) <= max_len:
+            filtered[w] = c
+    return [w for w, _ in filtered.most_common(max_words)]
 
 
 def words_from_html(raw) -> list[str]:
@@ -495,8 +720,12 @@ def is_open_directory(content: str, content_url: str) -> tuple[bool, str]:
     # fingerprints use \s*/\s+ separators, so '<title>host  -  /</title>'
     # or 'Directory\tLister' would otherwise slip past the single-space
     # keywords and violate the never-correctness-affecting contract
-    # (round-3 advice); the regexes still run on the ORIGINAL content
-    low = _WS_RUN.sub(" ", content.lower())
+    # (round-3 advice); the regexes still run on the ORIGINAL content.
+    # join(split()) is the same collapse as _WS_RUN.sub(" ", ...) for
+    # substring purposes (both split on Unicode whitespace; leading and
+    # trailing runs differ only by an edge space no keyword contains) at
+    # ~1/3 the cost — this gate runs on EVERY crawled page
+    low = " ".join(content.lower().split())
     if not any(k in low for k in _OPENDIR_KEYWORDS):
         return False, ""
     host = urlsplit(content_url)[1]
