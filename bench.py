@@ -404,6 +404,12 @@ def write_baseline_md(result: dict) -> None:
             f"| crawl+extract throughput @ local[{result['crawl']['cpus']}], "
             f"median of K | {result['crawl_median_urls_per_sec']} urls/s |",
         ]
+    if result.get("crawl_median_clean_urls_per_sec") is not None:
+        lines += [
+            f"| crawl+extract throughput @ local[{result['crawl']['cpus']}], "
+            f"median of idle-gated samples | "
+            f"{result['crawl_median_clean_urls_per_sec']} urls/s |",
+        ]
     if s:
         lines += [
             f"| crawl+extract throughput @ local[{s['high']['cpus']}] (scaling pair high) | "
@@ -570,8 +576,9 @@ def main() -> None:
         pool = (_clean(c) or runs.get(c, [])) if prefer_clean else runs.get(c, [])
         return max(pool, key=lambda r: r["urls_per_sec"], default=None)
 
-    def _median_rate(c: int) -> float | None:
-        rs = sorted(r["urls_per_sec"] for r in runs.get(c, []))
+    def _median_rate(c: int, clean_only: bool = False) -> float | None:
+        pool = _clean(c) if clean_only else runs.get(c, [])
+        rs = sorted(r["urls_per_sec"] for r in (pool or []))
         return rs[len(rs) // 2] if rs else None
 
     fast = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
@@ -613,6 +620,10 @@ def main() -> None:
         "headline_pass_totals": pass_totals,
         "crawl": crawl,
         "crawl_median_urls_per_sec": _median_rate(CPUS),
+        # median over idle-gated samples only: the all-samples median mixes
+        # host-interference storms into an engine metric (round-4 @32 spread
+        # 633-1074 on identical code); null when no sample was clean
+        "crawl_median_clean_urls_per_sec": _median_rate(CPUS, clean_only=True),
         "plans": plans,
         "budget": {
             "budget_s": BUDGET_S,

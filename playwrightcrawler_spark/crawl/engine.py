@@ -565,7 +565,12 @@ class CrawlEngine:
             F.count(F.when((F.col("route") != "missing") & (F.col("route") != "email"), 1)).alias("fetched_ok"),
             F.count(F.when(F.col("route") == "email", 1)).alias("emails"),
         )
-        crawled_version = self.lake.crawled.append(spark, crawled_all, meta={"wave": wave})
+        # the cache carries one partition per scan split (hundreds of fine
+        # extraction tasks); the commit only needs core-width parallelism —
+        # coalesce (no shuffle: each write task drains a few cached
+        # partitions) so a wave appends ~npart files, not ~n_splits
+        crawled_version = self.lake.crawled.append(
+            spark, crawled_all.coalesce(npart), meta={"wave": wave})
         crawl_stats = _obs_get(obs_crawl, {"rows": 0, "fetched_ok": 0, "emails": 0})
         mark("t_crawled")
 

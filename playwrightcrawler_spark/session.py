@@ -77,10 +77,27 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # small enough that a wave-sized html scan still splits across all
         # cores (a 1 GB corpus at the 128 MB default is 8 tasks — extraction
-        # would cap at 8-way parallelism no matter the core count)
+        # would cap at 8-way parallelism no matter the core count). Sizing
+        # is in COMPRESSED file bytes: web text snappy-compresses ~5-10x,
+        # so 4 MB splits ≈ 20-40 MB of raw pages ≈ a few hundred pages ≈
+        # 1-3 s of python per task — fine enough to pack evenly at any
+        # core count (the 16 MB round-4 value left the bench corpus at 80
+        # tasks: 2.5 quantized rounds at local[32] with a straggler tail
+        # idling ~40% of the width; 240 one-per-row-group tasks cut the
+        # extract phase 25%). Splits finer than a row group yield empty
+        # slices, so the open cost below keeps packing at >= 1 file/task
+        # rather than slicing inside row groups.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        # weigh small files realistically during split packing: the 4 MB
+        # default open cost makes Spark bin-pack 2-3 small row-group files
+        # per task (that IS the 80-task cap above); 512 KB keeps seek
+        # amortization without collapsing parallelism on fine-file layouts
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(512 * 1024)),
         )
     )
     # ad-hoc A/B knobs without code edits: "k=v;k=v"

@@ -41,6 +41,7 @@ def _padded_result() -> dict:
         "headline_pass_totals": [122.9, 114.8, 118.1],
         "crawl": dict(run),
         "crawl_median_urls_per_sec": 11032.84,
+        "crawl_median_clean_urls_per_sec": 11032.84,
         "plans": plans,
         "budget": {"budget_s": 1680.0, "elapsed_s": 1576.3, "k_requested": 3,
                    "samples_run": 14, "samples_skipped_for_budget": 13,
