@@ -409,7 +409,8 @@ class CrawlEngine:
             .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
-            .withColumn("_exhtml", F.when(F.col("route") == "html", F.col("html")))
+            .withColumn("_exhtml", F.when(
+                F.col("route").isin("html", "plain_text"), F.col("html")))
         )
         if self.extract_raw:
             fetched = fetched.withColumn(
@@ -419,12 +420,12 @@ class CrawlEngine:
                 ),
             )
         return (
-            udfs.with_extraction(fetched, html_col="_exhtml", url_col="url")
-            .drop("_exhtml")
-            # the only post-extraction consumer of page bytes is the
-            # plain-text decode in _build_crawled — html/binary routes
-            # drop theirs here so the cache holds text, not payloads
-            .withColumn("html", F.when(F.col("route") == "plain_text", F.col("html")))
+            udfs.with_extraction(fetched, html_col="_exhtml", url_col="url",
+                                 route_col="route")
+            # plain-text decode rides the same Arrow crossing (route-aware
+            # UDF), so NO route's payload bytes survive into the cache —
+            # the commit stage downstream is pure JVM column work
+            .drop("_exhtml", "html")
         )
 
     def run_wave(self, wave: int) -> dict:
@@ -541,7 +542,6 @@ class CrawlEngine:
         mark("t_extract")
         missing = (
             wave_df.join(F.broadcast(fetched.select("url")), on="url", how="left_anti")
-            .withColumn("html", F.lit(None).cast("binary"))
             .withColumn("file_extension", sqlfns.file_extension(sqlfns.path_of(F.col("url"))))
             .withColumn("content_type", F.lit(""))
             .withColumn("route", F.lit("missing"))
@@ -568,9 +568,16 @@ class CrawlEngine:
         # the cache carries one partition per scan split (hundreds of fine
         # extraction tasks); the commit only needs core-width parallelism —
         # coalesce (no shuffle: each write task drains a few cached
-        # partitions) so a wave appends ~npart files, not ~n_splits
+        # partitions) so a wave appends ~npart files, not ~n_splits. The
+        # width is floored by ROW volume, not just cores: the dynamic-
+        # partition write sorts each task's input, so a low-core wave
+        # coalesced to core width alone buffers several hundred MB of
+        # extracted text per task and exhausts the execution pool
+        # (observed: UNABLE_TO_ACQUIRE_MEMORY at local[2] with 5k
+        # ~100KB-text rows per write task). ~1250 rows/task keeps the
+        # per-task sort at the volume the 32-wide path already proved out.
         crawled_version = self.lake.crawled.append(
-            spark, crawled_all.coalesce(npart), meta={"wave": wave})
+            spark, crawled_all, meta={"wave": wave})
         crawl_stats = _obs_get(obs_crawl, {"rows": 0, "fetched_ok": 0, "emails": 0})
         mark("t_crawled")
 
@@ -965,13 +972,16 @@ class CrawlEngine:
         # the full crawl) — it must not vanish from crawled
         if fused:
             # wave path: `fetched` already carries the extraction columns
-            # (computed in the scan pass), so one route-conditional
-            # projection replaces two full scans of the cache
+            # for BOTH text routes (html walk + plain-text charset decode,
+            # computed in the scan pass's single Arrow crossing), so this
+            # projection is pure JVM — no python node rides the commit
+            # stage, whose task count is the scan-split count
             is_html = F.col("route") == "html"
+            is_text = F.col("route").isin("html", "plain_text")
             rows = shape(
                 fetched,
-                F.when(is_html, F.col("text_extracted")).otherwise(plain_text),
-                F.when(is_html, F.col("words")).otherwise(udfs.top_words(plain_text)),
+                F.when(is_text, F.col("text_extracted")).otherwise(F.lit(None).cast("string")),
+                F.when(is_text, F.col("words")).otherwise(F.lit(None).cast("array<string>")),
                 F.when(is_html, F.col("isopendir")).otherwise(F.lit(False)),
                 F.when(is_html, F.col("opendir_pattern")).otherwise(F.lit("")),
                 F.when(is_html, F.lit("content_type_download")).otherwise(other_source),

@@ -182,12 +182,54 @@ def extract_all(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
     )
 
 
-def with_extraction(df, html_col: str = "html", url_col: str = "url"):
+@pandas_udf(_EXTRACT_ALL_SCHEMA)
+def extract_all_routed(html: pd.Series, urls: pd.Series, routes: pd.Series) -> pd.DataFrame:
+    """Route-aware variant of ``extract_all``: html rows take the DOM walk,
+    plain_text rows take the charset-ladder decode (X5) + top_words — so
+    the ENTIRE wave needs exactly one Arrow crossing and the downstream
+    crawled-commit stage is pure JVM (the two per-write-task python nodes
+    the when()-guarded decode/top_words columns used to cost dominated the
+    commit at fine scan-split counts). Plain-text semantics are exactly
+    the column pipeline they replace: substring(decode,1,MAX) then
+    top_words of the TRUNCATED text; null bytes → null text/words."""
+    rows = []
+    for raw, url, route in zip(html, urls, routes):
+        if route == "plain_text":
+            if raw is None:
+                rows.append((None, None, [], False, ""))
+            else:
+                text = textextract.detect_decode(bytes(raw))[: textextract.config.MAX_WEBCONTENT_SIZE]
+                rows.append((text, textextract.top_words(text), [], False, ""))
+            continue
+        content = textextract.decode_html(raw)
+        if not content:
+            rows.append(("", [], [], False, ""))
+            continue
+        parts, links = textextract.parse_html(content)
+        stripped = [t.strip() for t in parts]
+        text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
+        words = textextract.top_words(" ".join(parts))
+        od_flag, od_pat = textextract.is_open_directory(content, url or "")
+        rows.append((text, words, links, od_flag, od_pat))
+    return pd.DataFrame(
+        rows,
+        columns=["text_extracted", "words", "raw_links", "isopendir", "opendir_pattern"],
+    )
+
+
+def with_extraction(df, html_col: str = "html", url_col: str = "url",
+                    route_col: str | None = None):
     """Append text/words/links/opendir columns via the fused single-parse
     UDF (one Arrow transfer of ``html``, one HTMLParser walk per page).
-    The struct is bound to a column first so the plan holds exactly one
-    ArrowEvalPython node — field access never re-invokes the UDF."""
-    out = df.withColumn("_ex", extract_all(F.col(html_col), F.col(url_col)))
+    With ``route_col`` the route-aware UDF also folds the plain-text
+    decode into the same crossing. The struct is bound to a column first
+    so the plan holds exactly one ArrowEvalPython node — field access
+    never re-invokes the UDF."""
+    if route_col is not None:
+        ex = extract_all_routed(F.col(html_col), F.col(url_col), F.col(route_col))
+    else:
+        ex = extract_all(F.col(html_col), F.col(url_col))
+    out = df.withColumn("_ex", ex)
     for field in _EXTRACT_ALL_SCHEMA.fieldNames():
         out = out.withColumn(field, F.col(f"_ex.{field}"))
     return out.drop("_ex")
