@@ -565,17 +565,14 @@ class CrawlEngine:
             F.count(F.when((F.col("route") != "missing") & (F.col("route") != "email"), 1)).alias("fetched_ok"),
             F.count(F.when(F.col("route") == "email", 1)).alias("emails"),
         )
-        # the cache carries one partition per scan split (hundreds of fine
-        # extraction tasks); the commit only needs core-width parallelism —
-        # coalesce (no shuffle: each write task drains a few cached
-        # partitions) so a wave appends ~npart files, not ~n_splits. The
-        # width is floored by ROW volume, not just cores: the dynamic-
-        # partition write sorts each task's input, so a low-core wave
-        # coalesced to core width alone buffers several hundred MB of
-        # extracted text per task and exhausts the execution pool
-        # (observed: UNABLE_TO_ACQUIRE_MEMORY at local[2] with 5k
-        # ~100KB-text rows per write task). ~1250 rows/task keeps the
-        # per-task sort at the volume the 32-wide path already proved out.
+        # the commit writes straight from the cache partitions (one per
+        # scan split): the projection above is pure JVM, so fine write
+        # tasks cost only parquet open/close. Coalescing to core width was
+        # tried and rejected — the dynamic-partition write sorts each
+        # task's input, and wide coalesced tasks buffer hundreds of MB of
+        # extracted text (UNABLE_TO_ACQUIRE_MEMORY at local[2] with ~5k
+        # 100KB-text rows per write task); MoR compaction already bounds
+        # file counts across waves.
         crawled_version = self.lake.crawled.append(
             spark, crawled_all, meta={"wave": wave})
         crawl_stats = _obs_get(obs_crawl, {"rows": 0, "fetched_ok": 0, "emails": 0})

@@ -27,9 +27,11 @@ def idle_engine(spark, pages_dir, tmp_path_factory):
 
 def _fetched_frame(spark):
     """A post-extraction wave frame the way the fused scan pass shapes it:
-    extraction columns populated for html rows, empty-extraction sentinels
-    ('', [], [], False, '') for the rest, html bytes retained only for the
-    plain_text route."""
+    extraction columns populated for BOTH text routes (the route-aware UDF
+    decodes plain_text in the same Arrow crossing as the html walk),
+    empty-extraction sentinels ('', [], [], False, '') for the rest. The
+    html bytes column survives here only because the NON-fused comparison
+    branch recomputes the plain-text decode from it."""
     rows = [
         # url, ctype, route, ext, depth, html(plain-text only), text, words, isopendir, odpat
         ("https://a.example/p0.html", "text/html", "html", "html", 0,
@@ -37,7 +39,8 @@ def _fetched_frame(spark):
         ("https://a.example/dir/", "text/html", "html", "", 1,
          None, "Index of /dir", ["index", "of", "dir"], True, "index of"),
         ("https://b.example/notes.txt", "text/plain", "plain_text", "txt", 1,
-         bytearray(b"plain body text"), "", [], False, ""),
+         bytearray(b"plain body text"), "plain body text",
+         ["plain", "body", "text"], False, ""),
         ("https://b.example/logo.png", "image/png", "image", "png", 2,
          None, "", [], False, ""),
     ]
