@@ -365,6 +365,11 @@ def write_baseline_md(result: dict) -> None:
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
     history = _history(result)
+    # a fast-mode run (SPARK_GRAFT_BENCH_FAST=1) has no scaling block; it
+    # banks its sample in history but must never REPLACE a full-protocol
+    # BASELINE.md with a record that lacks the north_rule scaling rows
+    if "scaling" not in result and out.exists() and "scaling pair" in out.read_text():
+        return
 
     def best(getter):
         vals = []
