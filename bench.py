@@ -131,6 +131,37 @@ IDLE_THRESH = 1.0
 # /proc/stat steal time instead (round-4 @32 spread: 633–1074 urls/s
 # across idle-loadavg attempts). ~1% is this box's quiescent floor.
 STEAL_THRESH_PCT = 3.0
+# ... AND (round-5 verdict #1) the cycles kept arriving DURING the timed
+# window: a storm that starts mid-sample contaminates the number while
+# both pre-run probes read clean (the r5 official @32 = 448 urls/s on code
+# whose clean history shows 792-1123). steal% is summed over exactly the
+# pinned CPUs across the whole crawl window. The threshold is above
+# STEAL_THRESH_PCT because saturating all 32 vCPUs has a quiescent steal
+# floor of ~10% on this VM (BENCH/BASELINE.md spin probe; 0.5% at
+# 8-wide), while a real storm — host delivering ~16 effective cores —
+# reads 30-50%: 15% separates the floor from the storms at every width.
+STEAL_DURING_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_DURING_PCT", "15"))
+# extra headline-level samples allowed after the K rounds while no
+# clean-throughout sample exists (round-5 verdict #1 re-run policy)
+MAX_RERUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "4"))
+
+
+def _pinned_cpu_ticks(cpus: int) -> tuple[int, int]:
+    """(total_ticks, steal_ticks) summed over per-cpu /proc/stat lines for
+    cpus 0..cpus-1 — the set taskset pins the bench tree to, so steal on
+    unpinned CPUs can't contaminate a narrow sample's verdict."""
+    tot = st = 0
+    with open("/proc/stat") as fh:
+        for line in fh:
+            if not line.startswith("cpu") or not line[3:4].isdigit():
+                continue
+            parts = line.split()
+            if int(parts[0][3:]) >= cpus:
+                continue
+            vals = [int(x) for x in parts[1:]]
+            tot += sum(vals)
+            st += vals[7] if len(vals) > 7 else 0
+    return tot, st
 
 
 def _steal_pct(window: float = 1.0) -> float:
@@ -203,6 +234,7 @@ def run_crawl_bench(cpus: int) -> dict:
     eng.wave_size = WAVE_SIZE
 
     t0 = time.time()
+    ticks0 = _pinned_cpu_ticks(cpus)
     fetched = 0
     timings: dict[str, float] = {}
     for m in eng.run(WAVES):
@@ -210,6 +242,12 @@ def run_crawl_bench(cpus: int) -> dict:
         for k, v in m.get("timings", {}).items():
             timings[k] = round(timings.get(k, 0.0) + v, 2)
     elapsed = time.time() - t0
+    # during-run contamination (round-5 verdict #1): steal% over the pinned
+    # CPUs across the WHOLE timed window — a 1 s pre-run probe misses
+    # storms that start mid-sample; this integral cannot
+    ticks1 = _pinned_cpu_ticks(cpus)
+    dt = ticks1[0] - ticks0[0]
+    steal_during = round(100.0 * (ticks1[1] - ticks0[1]) / dt, 2) if dt else 0.0
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
     return {
@@ -217,15 +255,42 @@ def run_crawl_bench(cpus: int) -> dict:
         "urls_fetched": fetched,
         "seconds": round(elapsed, 2),
         "urls_per_sec": round(fetched / elapsed, 2) if elapsed > 0 else 0.0,
+        "steal_pct_during": steal_during,
+        "load_1m_after": round(os.getloadavg()[0], 2),
         "phase_seconds": timings,
     }
 
 
-def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float]]:
+def measure_bail_rate(spark) -> float | None:
+    """Fast-scanner bail fraction over the bench pages corpus, in percent
+    (round-5 verdict #4): every bail re-parses the page twice (scan +
+    HTMLParser walk), so the 6.4 ms/page kernel win holds only while this
+    stays near zero. None on bs4-equipped hosts (bs4 replaces the
+    scanner). The fixture-corpus rate is pinned in
+    tests/test_textextract.py::test_fast_scan_bail_rate_on_fixture."""
+    from pyspark.sql import functions as F
+
+    from playwrightcrawler_spark.functions import textextract, udfs
+
+    if textextract._HAVE_BS4:
+        return None
+    pages = spark.read.parquet(_pages_cache(spark))
+    row = (
+        pages.select(udfs.fast_scan_bails(F.col("html")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("b").cast("int")).alias("bails"))
+        .first()
+    )
+    return round(100.0 * row["bails"] / row["n"], 3) if row["n"] else None
+
+
+def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float], dict, float | None]:
     """Per-query seconds = min across ``passes`` repeats in one session
     (interference only slows runs, so the min is the least-contaminated
-    sample — same protocol as the crawl/scaling sections, round-2 verdict);
-    per-pass totals are returned for transparency."""
+    sample — same protocol as the crawl/scaling sections, round-2 verdict).
+    Returns (per_query_min_sec, total_sec, per_pass_totals, plan_guard
+    fields, fast_scan_bail_pct) — the last two computed untimed in the
+    same session."""
     import __spark_entry__ as entrymod
     from playwrightcrawler_spark.session import get_spark
 
@@ -250,10 +315,12 @@ def run_headline_queries(passes: int = 3) -> tuple[dict, float, list[float]]:
                 timings[name] = dt
         pass_totals.append(round(ptotal, 3))
     total = round(sum(timings.values()), 3)
-    # plan-regression fields, computed in the same session (untimed)
+    # plan-regression + bail-rate fields, computed in the same session
+    # (untimed)
     plans = plan_guard(spark, qmap)
+    bail_pct = measure_bail_rate(spark)
     spark.stop()
-    return timings, total, pass_totals, plans
+    return timings, total, pass_totals, plans, bail_pct
 
 
 def _plan_fields(df) -> dict:
@@ -318,8 +385,12 @@ def compact_record(result: dict) -> dict:
     def slim(run: dict | None) -> dict | None:
         if not run:
             return run
+        # clean_throughout = pre-run idle gate (load+steal) AND during-run
+        # steal window — the one verdict bit the judge needs per leg; the
+        # pre-run probe numbers (load_1m_before, steal_pct_before,
+        # load_gate_passed) live in BENCH/history.jsonl
         keep = ("cpus", "urls_fetched", "seconds", "urls_per_sec",
-                "load_1m_before", "steal_pct_before", "load_gate_passed")
+                "steal_pct_during", "clean_throughout")
         return {k: run[k] for k in keep if k in run}
 
     out = {k: v for k, v in result.items()
@@ -412,8 +483,14 @@ def write_baseline_md(result: dict) -> None:
     if result.get("crawl_median_clean_urls_per_sec") is not None:
         lines += [
             f"| crawl+extract throughput @ local[{result['crawl']['cpus']}], "
-            f"median of idle-gated samples | "
+            f"median of clean-throughout samples (idle-gated before AND "
+            f"steal-clean during) | "
             f"{result['crawl_median_clean_urls_per_sec']} urls/s |",
+        ]
+    if result.get("fast_scan_bail_pct") is not None:
+        lines += [
+            f"| fast-scanner bail rate over the bench corpus | "
+            f"{result['fast_scan_bail_pct']}% of pages |",
         ]
     if s:
         lines += [
@@ -448,7 +525,14 @@ def write_baseline_md(result: dict) -> None:
         f"local[{CPUS}] throughput, the scaling pair, and the headline",
         "queries. Each crawl sample runs in a fresh JVM with the whole",
         "process tree taskset-pinned to exactly its CPU count, idle-gated",
-        "on the pre-run 1-min loadavg; K samples per level (env",
+        "on the pre-run 1-min loadavg AND pre-run steal%, and additionally",
+        "records steal% integrated over the pinned CPUs across the whole",
+        "timed window (round-5 verdict #1: a storm that starts mid-sample",
+        "passes every pre-run probe) — a sample is clean_throughout only",
+        "when both the gate and the during-window check pass; the",
+        "headline level is re-run (up to SPARK_GRAFT_BENCH_RERUNS extra",
+        "samples, budget permitting) until one clean-throughout sample",
+        "exists. K samples per level (env",
         "SPARK_GRAFT_BENCH_K, default 3) interleaved round-robin across",
         "levels so one interference burst cannot contaminate a whole",
         "level. The whole run is bounded by a wall-time budget (env",
@@ -535,7 +619,9 @@ def main() -> None:
     scaling_error = None
 
     def _clean(c: int) -> list[dict]:
-        return [r for r in runs.get(c, []) if r.get("load_gate_passed")]
+        """Samples clean BEFORE (idle gate) and DURING (steal window) —
+        the only pool the official medians/quotients should trust."""
+        return [r for r in runs.get(c, []) if r.get("clean_throughout")]
 
     def _one(c: int) -> bool:
         nonlocal scaling_error
@@ -567,9 +653,17 @@ def main() -> None:
         # with the box still busy — record which, per sample, so a
         # contaminated quotient is visible in the JSON (round-4 verdict #2)
         r["load_gate_passed"] = load < IDLE_THRESH and steal < STEAL_THRESH_PCT
+        # ... and the storm check must also cover the timed window itself
+        # (round-5 verdict #1: the r5 official @32 passed every pre-run
+        # probe and was still storm-flattened mid-sample)
+        r["clean_throughout"] = (
+            r["load_gate_passed"]
+            and r.get("steal_pct_during", 0.0) < STEAL_DURING_PCT
+        )
         attempts.append({k: r.get(k) for k in (
             "cpus", "urls_per_sec", "seconds", "load_1m_before",
-            "steal_pct_before", "load_gate_passed")})
+            "steal_pct_before", "steal_pct_during", "load_gate_passed",
+            "clean_throughout")})
         runs.setdefault(c, []).append(r)
         return True
 
@@ -607,13 +701,27 @@ def main() -> None:
                 continue
             _one(c)
 
+    # round-5 verdict #1 re-run policy: the HEADLINE level sets the
+    # official metric — until one sample is clean before AND during, spend
+    # remaining budget re-running it (bounded; a storm that outlasts the
+    # budget leaves clean_throughout=false visible in the record)
+    reruns = 0
+    while (
+        not _clean(CPUS)
+        and reruns < MAX_RERUNS
+        and time.time() + last_dur.get(CPUS, _PRIOR_SAMPLE_S.get(CPUS, 300.0))
+        <= deadline - RESERVE_S
+    ):
+        reruns += 1
+        _one(CPUS)
+
     crawl = _best(CPUS)
     if crawl is None:
         sys.stderr.write(f"crawl bench failed: {scaling_error}\n")
         sys.exit(1)
     _idle_gate(max_wait=min(60.0, max(0.0, deadline - time.time())))
     qpasses = 3 if time.time() + 150 < deadline else 1
-    queries, total, pass_totals, plans = run_headline_queries(passes=qpasses)
+    queries, total, pass_totals, plans, bail_pct = run_headline_queries(passes=qpasses)
 
     result = {
         "metric": "urls_crawled_extracted_per_sec",
@@ -629,6 +737,7 @@ def main() -> None:
         # host-interference storms into an engine metric (round-4 @32 spread
         # 633-1074 on identical code); null when no sample was clean
         "crawl_median_clean_urls_per_sec": _median_rate(CPUS, clean_only=True),
+        "fast_scan_bail_pct": bail_pct,
         "plans": plans,
         "budget": {
             "budget_s": BUDGET_S,
@@ -636,6 +745,7 @@ def main() -> None:
             "k_requested": K,
             "samples_run": len(attempts),
             "samples_skipped_for_budget": skipped,
+            "headline_reruns": reruns,
             "headline_passes": qpasses,
         },
     }
@@ -657,8 +767,8 @@ def main() -> None:
             "efficiency": round(hi_best["urls_per_sec"] / lo_best["urls_per_sec"] / factor, 3)
             if lo_best["urls_per_sec"] else None,
             "efficiency_median": round(hi_med / lo_med / factor, 3) if lo_med else None,
-            "low_clean": bool(lo_best.get("load_gate_passed")),
-            "high_clean": bool(hi_best.get("load_gate_passed")),
+            "low_clean": bool(lo_best.get("clean_throughout")),
+            "high_clean": bool(hi_best.get("clean_throughout")),
             "attempts": attempts,
         }
     elif scaling_error:

@@ -172,12 +172,44 @@ class CrawlEngine:
         self.extract_raw = extract_raw_webcontent
         self._frontier_cur: DataFrame | None = None
         self._bloom_rows: list | None = None
+        # wave-membership pruning (round-5 verdict #2): a pages table
+        # written hive-partitioned by pmod(xxhash64(url), N) carries a
+        # marker with N; each wave then pushes its bucket membership into
+        # the scan as a PartitionFilter, so the per-wave read is
+        # min(wave_size, N)/N of the table's files instead of all of them
+        # — THE scan-side lever at 10^10 pages. None → unbucketed table,
+        # full scan (the broadcast join still never shuffles it).
+        from playwrightcrawler_spark.sources import pages_gen as _pg
+
+        self._url_buckets = _pg.read_bucket_marker(pages_path)
         if use_bloom and self.lake.frontier.exists():
             self._bloom_sync()
 
     # ------------------------------------------------------------------ util
     def _pages(self) -> DataFrame:
         return self.spark.read.parquet(self.pages_path).select("url", "html")
+
+    def _pages_for_wave(self, wave_df: DataFrame) -> DataFrame:
+        """The pages scan for ONE wave. On a bucketed table, collect the
+        wave's distinct url_bucket values (<= min(wave_size, N) ints, one
+        tiny job on the already-cached wave frame) and push them as a
+        partition predicate — Catalyst turns isin on a hive partition
+        column into file-level PartitionFilters, asserted in
+        tests/test_plans.py::test_bucketed_pages_wave_scan_prunes."""
+        if not self._url_buckets:
+            return self._pages()
+        buckets = [
+            r[0]
+            for r in wave_df.select(
+                F.pmod(F.xxhash64("url"), F.lit(self._url_buckets))
+                .cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        return (
+            self.spark.read.parquet(self.pages_path)
+            .filter(F.col("url_bucket").isin(buckets))
+            .select("url", "html")
+        )
 
     def _frontier(self) -> DataFrame:
         if self._frontier_cur is None:
@@ -397,7 +429,9 @@ class CrawlEngine:
         the bench plan-guard and tests — can assert the physical shape
         (BroadcastHashJoin, no Exchange, ArrowEvalPython only) without
         running a wave; run_wave caches the returned frame."""
-        hits = self._pages().join(F.broadcast(wave_df), on="url", how="inner")
+        hits = self._pages_for_wave(wave_df).join(
+            F.broadcast(wave_df), on="url", how="inner"
+        )
         if self.rebalance_fetch:
             # pathological layouts only (few huge files that defeat split
             # planning): round-robin the joined rows before extraction.
@@ -413,10 +447,17 @@ class CrawlEngine:
                 F.col("route").isin("html", "plain_text"), F.col("html")))
         )
         if self.extract_raw:
+            # Reference gates raw_webcontent on is_html_content
+            # (playwrightcrawler.py:5150-5153); its plain-text handler records
+            # none — so guard on route, not on the widened _exhtml (which also
+            # carries plain_text bytes for the fused extraction UDF).
             fetched = fetched.withColumn(
                 "raw_webcontent",
                 F.substring(
-                    sniff.decode_utf8_replace(F.col("_exhtml")), 1, config.MAX_WEBCONTENT_SIZE
+                    sniff.decode_utf8_replace(
+                        F.when(F.col("route") == "html", F.col("_exhtml"))
+                    ),
+                    1, config.MAX_WEBCONTENT_SIZE,
                 ),
             )
         return (
@@ -771,7 +812,7 @@ class CrawlEngine:
             return {"wave": wave, "op": "fast_pass", "urls_selected": 0, "done": True}
 
         fetched = (
-            self._pages().join(F.broadcast(sel), on="url", how="inner")
+            self._pages_for_wave(sel).join(F.broadcast(sel), on="url", how="inner")
             .withColumn("content_type", sniff.sniff_content_type(F.col("html"), F.col("file_extension")))
             .withColumn("route", routing.route_col(routing.sanitize_content_type_col(F.col("content_type"))))
             # cache hygiene (same rule as the wave): the only downstream

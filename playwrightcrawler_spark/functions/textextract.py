@@ -423,6 +423,19 @@ def _fast_scan(html: str) -> tuple[list[str], list[str]]:
     return parts, links
 
 
+def fast_scan_bailed(raw) -> bool:
+    """True when this page falls OUTSIDE the fast scanner's strict subset —
+    i.e. extraction pays the scan attempt AND the full HTMLParser walk
+    (round-5 verdict #4: the 6.4 ms/page win assumes most real markup stays
+    inside the subset; the bail fraction is measured into the bench JSON as
+    ``fast_scan_bail_pct`` and pinned on the fixture corpus in pytest).
+    Meaningful only on the non-bs4 path (bs4 replaces the scanner)."""
+    content = decode_html(raw)
+    if not content:
+        return False
+    return _fast_parse(content) is None
+
+
 def _fast_parse(html: str):
     """(text_parts, links) via the fast scanner, or None when the page
     falls outside the strict subset and must take the HTMLParser walk."""

@@ -126,6 +126,14 @@ def words_from_html(html: pd.Series) -> pd.Series:
     return html.map(textextract.words_from_html, na_action="ignore")
 
 
+@pandas_udf(T.BooleanType())
+def fast_scan_bails(html: pd.Series) -> pd.Series:
+    """Diagnostic (round-5 verdict #4): whether each page bails out of the
+    fast scanner into the HTMLParser walk. Not on any hot path — bench and
+    tests aggregate it into a corpus bail rate."""
+    return html.map(textextract.fast_scan_bailed, na_action="ignore").fillna(False)
+
+
 _OPENDIR_SCHEMA = T.StructType([
     T.StructField("isopendir", T.BooleanType()),
     T.StructField("opendir_pattern", T.StringType()),
@@ -156,65 +164,60 @@ _EXTRACT_ALL_SCHEMA = T.StructType([
 ])
 
 
+def _extract_page_row(raw, url, route: str = "html"):
+    """THE per-page extraction kernel, shared by ``extract_all`` and
+    ``extract_all_routed`` so the invariant path and the wave hot path
+    cannot drift (round-5 verdict #2 / advice: the two UDFs used to carry
+    separate copies of this body).
+
+    html (default) route — fused E1+E2/E5+E4+E6: ONE decode + ONE DOM walk
+    produces text, word list, raw links and the open-dir verdict. Parser
+    selection is shared with ``extract_text`` via ``textextract.parse_html``
+    (bs4 when installed, fast-scan/stdlib walker here).
+
+    plain_text route — charset-ladder decode (X5) + top_words, exactly the
+    column pipeline it replaced: substring(decode,1,MAX) then top_words of
+    the TRUNCATED text; null bytes → null text/words.
+    """
+    if route == "plain_text":
+        if raw is None:
+            return (None, None, [], False, "")
+        text = textextract.detect_decode(bytes(raw))[: textextract.config.MAX_WEBCONTENT_SIZE]
+        return (text, textextract.top_words(text), [], False, "")
+    content = textextract.decode_html(raw)
+    if not content:
+        return ("", [], [], False, "")
+    parts, links = textextract.parse_html(content)
+    stripped = [t.strip() for t in parts]
+    text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
+    words = textextract.top_words(" ".join(parts))
+    od_flag, od_pat = textextract.is_open_directory(content, url or "")
+    return (text, words, links, od_flag, od_pat)
+
+
 @pandas_udf(_EXTRACT_ALL_SCHEMA)
 def extract_all(html: pd.Series, urls: pd.Series) -> pd.DataFrame:
-    """Fused E1+E2/E5+E4+E6: ONE decode + ONE DOM walk per page produces
-    text, word list, raw links and the open-dir verdict — the individual
-    UDFs above each re-parse the html; the crawl hot path must not.
-    Parser selection is shared with ``extract_text`` via
-    ``textextract.parse_html`` (bs4 when installed, stdlib walker here),
-    so the hot path and the invariant path can never diverge."""
-    rows = []
-    for raw, url in zip(html, urls):
-        content = textextract.decode_html(raw)
-        if not content:
-            rows.append(("", [], [], False, ""))
-            continue
-        parts, links = textextract.parse_html(content)
-        stripped = [t.strip() for t in parts]
-        text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
-        words = textextract.top_words(" ".join(parts))
-        od_flag, od_pat = textextract.is_open_directory(content, url or "")
-        rows.append((text, words, links, od_flag, od_pat))
-    return pd.DataFrame(
-        rows,
-        columns=["text_extracted", "words", "raw_links", "isopendir", "opendir_pattern"],
-    )
+    """Fused single-parse extraction over html rows (no routing) — thin
+    Arrow wrapper over ``_extract_page_row``; the crawl hot path uses the
+    routed variant below, same kernel."""
+    rows = [_extract_page_row(raw, url) for raw, url in zip(html, urls)]
+    return pd.DataFrame(rows, columns=_EXTRACT_ALL_SCHEMA.fieldNames())
 
 
 @pandas_udf(_EXTRACT_ALL_SCHEMA)
 def extract_all_routed(html: pd.Series, urls: pd.Series, routes: pd.Series) -> pd.DataFrame:
-    """Route-aware variant of ``extract_all``: html rows take the DOM walk,
-    plain_text rows take the charset-ladder decode (X5) + top_words — so
-    the ENTIRE wave needs exactly one Arrow crossing and the downstream
-    crawled-commit stage is pure JVM (the two per-write-task python nodes
-    the when()-guarded decode/top_words columns used to cost dominated the
-    commit at fine scan-split counts). Plain-text semantics are exactly
-    the column pipeline they replace: substring(decode,1,MAX) then
-    top_words of the TRUNCATED text; null bytes → null text/words."""
-    rows = []
-    for raw, url, route in zip(html, urls, routes):
-        if route == "plain_text":
-            if raw is None:
-                rows.append((None, None, [], False, ""))
-            else:
-                text = textextract.detect_decode(bytes(raw))[: textextract.config.MAX_WEBCONTENT_SIZE]
-                rows.append((text, textextract.top_words(text), [], False, ""))
-            continue
-        content = textextract.decode_html(raw)
-        if not content:
-            rows.append(("", [], [], False, ""))
-            continue
-        parts, links = textextract.parse_html(content)
-        stripped = [t.strip() for t in parts]
-        text = " ".join(t for t in stripped if t)[: textextract.config.MAX_WEBCONTENT_SIZE]
-        words = textextract.top_words(" ".join(parts))
-        od_flag, od_pat = textextract.is_open_directory(content, url or "")
-        rows.append((text, words, links, od_flag, od_pat))
-    return pd.DataFrame(
-        rows,
-        columns=["text_extracted", "words", "raw_links", "isopendir", "opendir_pattern"],
-    )
+    """Route-aware fused extraction: html rows take the DOM walk,
+    plain_text rows the charset-ladder decode + top_words — so the ENTIRE
+    wave needs exactly one Arrow crossing and the downstream crawled-commit
+    stage is pure JVM (the two per-write-task python nodes the
+    when()-guarded decode/top_words columns used to cost dominated the
+    commit at fine scan-split counts). Per-page semantics live in
+    ``_extract_page_row``."""
+    rows = [
+        _extract_page_row(raw, url, route)
+        for raw, url, route in zip(html, urls, routes)
+    ]
+    return pd.DataFrame(rows, columns=_EXTRACT_ALL_SCHEMA.fieldNames())
 
 
 def with_extraction(df, html_col: str = "html", url_col: str = "url",

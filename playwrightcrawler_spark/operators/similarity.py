@@ -122,6 +122,19 @@ def lsh_topk(
     )
 
 
+def _corpus_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first corpus row, with a clear error
+    on an empty corpus (round-5 advice: ``first()[0]`` raised a bare
+    TypeError — None is not subscriptable — instead of naming the input)."""
+    row = df.select(F.size(vec_col)).first()
+    if row is None:
+        raise ValueError(
+            f"cannot derive embedding dimensionality: input corpus is empty "
+            f"(vector column {vec_col!r})"
+        )
+    return row[0]
+
+
 def write_bucketed_signatures(
     df: DataFrame,
     path: str,
@@ -142,7 +155,7 @@ def write_bucketed_signatures(
     directory count stays trivial while probe I/O drops by the same
     factor. One shuffle (repartition on bucket) so each partition writes
     exactly one file instead of files × buckets fragments."""
-    dim = df.select(F.size(vec_col)).first()[0]
+    dim = _corpus_dim(df, vec_col)
     sig_udf = make_signature_udf(dim, bits, seed)
     (
         df.select(id_col, vec_col)
@@ -208,7 +221,7 @@ def pairwise_near_dups(
     exponentially unlikely — the scale-safe form of the reference-style
     all-pairs check (SURVEY.md 'dedup:cosine')."""
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        dim = _corpus_dim(df, vec_col)
     sig_udf = make_multiband_signature_udf(dim, bits, bands, seed)
     # Candidate generation joins (band, sig, id) SKELETONS only — the
     # band self-join otherwise shuttles every full vector ×bands×2 through

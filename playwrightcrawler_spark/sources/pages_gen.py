@@ -16,6 +16,7 @@ the same row builder.
 
 from __future__ import annotations
 
+import os
 import random
 from datetime import datetime, timedelta, timezone
 
@@ -346,6 +347,7 @@ def write_pages_scaled(
     include_assets: bool = True,
     next_links: int = 3,
     n_files: int | None = None,
+    url_buckets: int | None = None,
 ) -> int:
     """Deterministic link graph: page p on host h links to the next page on
     its host, two hash-derived cross-host pages, and static assets. HTML is
@@ -357,7 +359,16 @@ def write_pages_scaled(
     splits at row-group boundaries — a handful of single-row-group files
     caps the whole crawl at that many tasks no matter the core count.
     Range partitioning (not round-robin) keeps the host-clustered layout a
-    Common-Crawl-style corpus really has."""
+    Common-Crawl-style corpus really has.
+
+    ``url_buckets``: ALSO hive-partition the table by
+    ``url_bucket = pmod(xxhash64(url), url_buckets)`` and drop a
+    ``_pwc_url_buckets.json`` marker so the engine can push each wave's
+    bucket membership into the scan as a PartitionFilter — the
+    wave-membership pruning lever for the per-wave pages scan (at 10^10
+    pages a wave touches <= wave_size urls, so reading every file each
+    wave is the scan-side scale killer). Within each bucket the layout
+    stays range-clustered by url when ``n_files`` is set."""
     from pyspark.sql import functions as F
 
     n = n_hosts * pages_per_host
@@ -418,10 +429,50 @@ def write_pages_scaled(
     if include_assets:
         out = out.unionByName(assets)
         n += n_hosts * 6
+    if url_buckets:
+        out = out.withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int"),
+        )
+        if n_files:
+            # range-cluster by url WITHIN each bucket: the dynamic-partition
+            # write splits each task's rows across its buckets, so file
+            # count ~= n_files spread over the buckets it intersects
+            out = out.repartitionByRange(n_files, "url_bucket", "url")
+        out.write.mode("overwrite").partitionBy("url_bucket").parquet(path)
+        write_bucket_marker(path, url_buckets)
+        return n
     if n_files:
         out = out.repartitionByRange(n_files, "url")
     out.write.mode("overwrite").parquet(path)
     return n
+
+
+_BUCKET_MARKER = "_pwc_url_buckets.json"
+
+
+def write_bucket_marker(path: str, url_buckets: int) -> None:
+    """Record the bucket modulus next to the data (underscore-prefixed, so
+    parquet readers ignore it): the engine must hash wave urls with the
+    SAME modulus the writer used or the pruning filter silently drops
+    pages."""
+    import json
+
+    with open(os.path.join(path, _BUCKET_MARKER), "w") as fh:
+        json.dump({"url_buckets": int(url_buckets),
+                   "hash": "pmod(xxhash64(url), url_buckets)"}, fh)
+
+
+def read_bucket_marker(path: str) -> int | None:
+    """url_buckets modulus of a bucketed pages table, or None when the
+    table is unbucketed (no marker)."""
+    import json
+
+    try:
+        with open(os.path.join(path, _BUCKET_MARKER)) as fh:
+            return int(json.load(fh)["url_buckets"])
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def bench_all_page_urls(n_hosts: int, pages_per_host: int) -> list[str]:

@@ -25,7 +25,10 @@ def _padded_result() -> dict:
             "t_buckets", "t_metrics")},
         "load_1m_before": 12.29,
         "steal_pct_before": 10.25,
+        "steal_pct_during": 48.75,
+        "load_1m_after": 33.17,
         "load_gate_passed": False,
+        "clean_throughout": False,
     }
     plans = {
         name: {"shuffles": 12, "codegen": 12, "arrow_only": False}
@@ -42,10 +45,11 @@ def _padded_result() -> dict:
         "crawl": dict(run),
         "crawl_median_urls_per_sec": 11032.84,
         "crawl_median_clean_urls_per_sec": 11032.84,
+        "fast_scan_bail_pct": 99.875,
         "plans": plans,
         "budget": {"budget_s": 1680.0, "elapsed_s": 1576.3, "k_requested": 3,
                    "samples_run": 14, "samples_skipped_for_budget": 13,
-                   "headline_passes": 3},
+                   "headline_reruns": 4, "headline_passes": 3},
         "scaling": {"low": dict(run), "high": dict(run), "factor": 4.0,
                     "efficiency": 1.016, "efficiency_median": 0.889,
                     "low_clean": False, "high_clean": True,
@@ -67,9 +71,11 @@ def test_compact_strips_bulk_and_keeps_contract():
     assert "attempts" not in out["scaling"]
     for leg in (out["crawl"], out["scaling"]["low"], out["scaling"]["high"]):
         assert "phase_seconds" not in leg
-        # contamination accounting stays visible per leg (verdict #2)
-        assert "load_1m_before" in leg and "load_gate_passed" in leg
-        assert "steal_pct_before" in leg
+        # contamination accounting stays visible per leg: the during-run
+        # steal window + the combined before-AND-during verdict (round-5
+        # verdict #1); the pre-run probe numbers live in history.jsonl
+        assert "steal_pct_during" in leg and "clean_throughout" in leg
+        assert "load_1m_before" not in leg  # trimmed for the 1800-byte cap
     # contract fields the judge/driver read
     for key in ("metric", "value", "unit", "queries", "sf",
                 "headline_total_sec", "crawl", "plans", "budget", "scaling"):
