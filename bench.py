@@ -575,8 +575,14 @@ def write_baseline_md(result: dict) -> None:
         "  CORRECTNESS-checked as seen_bloom_prefilter; off in this bench",
         "  — the exact anti-join is cheaper below ~10^7 frontier rows),",
         "  month-partitioned crawled writes with partition pruning.",
-        "- Remaining Iceberg-only lever: bucket(url) layout + bloom",
-        "  row-group skipping for the per-wave pages scan.",
+        "- Wave-membership pruning (round-5 verdict #2) is DEMONSTRATED:",
+        "  a pages table hive-partitioned by pmod(xxhash64(url), N) lets",
+        "  each wave push its bucket set into the scan as a",
+        "  PartitionFilter (engine._pages_for_wave; strict-subset file",
+        "  reads + result equality asserted in tests/test_plans.py::",
+        "  test_bucketed_pages_wave_scan_prunes). The bench corpus stays",
+        "  unbucketed because its wave covers 2/3 of the table — pruning",
+        "  pays off when wave_size << corpus, the 10^10-page shape.",
         "- JVM sizing (round 4): a big lazily-committed heap is actively",
         "  harmful on VMs — G1's grow/shrink toward Xmx re-faults pages",
         "  continuously (19 cores of system time at local[32]). The",

@@ -656,6 +656,10 @@ ORACLES: dict[str, str] = {
     """,
     "simhash_candidates": _simhash_oracle(),
     "crawl_wave": _crawl_wave_oracle(),
+    # identical recompute: the bucketed-layout wave must change NOTHING
+    # about the result — DuckDB recomputes from the flat fixture, the
+    # engine runs on the hive-partitioned copy with partition pruning live
+    "crawl_wave_bucketed": _crawl_wave_oracle(),
     # multimodal plumbing with the deterministic fake decoder: width/height
     # derive from the first two payload bytes, recomputed here from the
     # hex dump; sha256/sha512-filename columns are excluded (DuckDB hashes

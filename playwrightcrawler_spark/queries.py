@@ -538,19 +538,12 @@ def q_fast_extension_pass(spark, sf_dir):
     )
 
 
-def q_crawl_wave(spark, sf_dir):
-    """[engine] one full crawl wave end-to-end on the synthetic pages
-    fixture with the SCALE configuration live — Bloom seen-set pre-filter,
-    MoR frontier commits, link discovery/hygiene, fetch join, sniff+route.
-    Oracle-checked (round-3 verdict #4): the configuration is made
-    SQL-replicable — bootstrap = ALL fixture urls (hygiene applies), the
-    'oldest' policy over equal bootstrap timestamps degenerates to
-    url-ordered per-host quota + global limit, robots off — so DuckDB
-    independently recomputes the selected wave, the fetch hit/miss split
-    and every projected column (route/content_type/host/extension) from
-    the fixture parquet. Email rows are projected out (their parent-page
-    extraction is oracled via pages_extract); isopendir stays pinned by
-    the opendir pytest suite; robots compliance by the engine tests."""
+def _run_crawl_wave(spark, pages_path: str, wh_tag: str) -> DataFrame:
+    """One full crawl wave end-to-end with the SCALE configuration live —
+    Bloom seen-set pre-filter, MoR frontier commits, link discovery/
+    hygiene, fetch join, sniff+route — on the given pages table, shared by
+    the flat and bucketed crawl_wave queries (same engine, same config,
+    same projection; only the table layout differs)."""
     from playwrightcrawler_spark.crawl.engine import CrawlEngine
 
     # per-process warehouse, wiped and rebuilt per invocation (round-4
@@ -561,7 +554,8 @@ def q_crawl_wave(spark, sf_dir):
     # warehouse. Within one process the previous invocation's frame is
     # always materialized before the next call runs, so the wipe is safe.
     wh = os.path.join(
-        tempfile.gettempdir(), f"pwc_wave_wh_{os.getuid()}_{os.getpid()}"
+        tempfile.gettempdir(),
+        f"pwc_wave_wh_{os.getuid()}_{os.getpid()}_{wh_tag}",
     )
     shutil.rmtree(wh, ignore_errors=True)
     # no-accumulation stays intact: reap our own trees from processes that
@@ -570,10 +564,10 @@ def q_crawl_wave(spark, sf_dir):
     for old in glob.glob(
         os.path.join(tempfile.gettempdir(), f"pwc_wave_wh_{os.getuid()}_*")
     ):
-        pid = old.rsplit("_", 1)[-1]
-        if pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
+        m = re.search(r"pwc_wave_wh_\d+_(\d+)_", old + "_")
+        pid = m.group(1) if m else ""
+        if pid and pid != str(os.getpid()) and not os.path.exists(f"/proc/{pid}"):
             shutil.rmtree(old, ignore_errors=True)
-    pages_path = _fixture_pages(spark)
     eng = CrawlEngine(spark, pages_path, wh, wave_size=200, per_host_quota=3,
                       use_bloom=True, bloom_items_per_bucket=2000,
                       method_weights={"oldest": 1})
@@ -584,6 +578,46 @@ def q_crawl_wave(spark, sf_dir):
         .filter(F.col("route") != "email")
         .select("url", "route", "content_type", "host", "file_extension", "wave")
     )
+
+
+def q_crawl_wave(spark, sf_dir):
+    """[engine] one full crawl wave end-to-end on the synthetic pages
+    fixture. Oracle-checked (round-3 verdict #4): the configuration is
+    made SQL-replicable — bootstrap = ALL fixture urls (hygiene applies),
+    the 'oldest' policy over equal bootstrap timestamps degenerates to
+    url-ordered per-host quota + global limit, robots off — so DuckDB
+    independently recomputes the selected wave, the fetch hit/miss split
+    and every projected column (route/content_type/host/extension) from
+    the fixture parquet. Email rows are projected out (their parent-page
+    extraction is oracled via pages_extract); isopendir stays pinned by
+    the opendir pytest suite; robots compliance by the engine tests."""
+    return _run_crawl_wave(spark, _fixture_pages(spark), wh_tag="flat")
+
+
+def q_crawl_wave_bucketed(spark, sf_dir):
+    """[engine, scale layout] the SAME wave as crawl_wave but over the
+    fixture re-written hive-partitioned by pmod(xxhash64(url), 16): the
+    engine detects the bucket marker and pushes the wave's bucket
+    membership into the pages scan as a PartitionFilter
+    (engine._pages_for_wave, round-5 verdict #2 — at 10^10 pages this is
+    the difference between scanning every file per wave and
+    ~min(wave, N)/N of them). Same oracle as crawl_wave: the pruned scan
+    must change NOTHING about the result."""
+    from playwrightcrawler_spark.sources import pages_gen
+
+    flat = _fixture_pages(spark)
+    # content-addressed off the flat fixture path (which digests the
+    # generated rows), so generator/kernel changes regenerate this too
+    path = flat[: -len(".parquet")] + "_b16.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.read.parquet(flat)
+            .withColumn("url_bucket",
+                        F.pmod(F.xxhash64("url"), F.lit(16)).cast("int"))
+            .write.mode("overwrite").partitionBy("url_bucket").parquet(path)
+        )
+        pages_gen.write_bucket_marker(path, 16)
+    return _run_crawl_wave(spark, path, wh_tag="b16")
 
 
 def q_pages_extract(spark, sf_dir):
@@ -650,6 +684,7 @@ QUERIES = {
     "downloader_fetch": q_downloader_fetch,
     "fast_extension_pass": q_fast_extension_pass,
     "crawl_wave": q_crawl_wave,
+    "crawl_wave_bucketed": q_crawl_wave_bucketed,
     "pages_extract": q_pages_extract,
     "media_metadata": q_media_metadata,
 }

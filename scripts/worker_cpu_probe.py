@@ -108,6 +108,7 @@ def main():
         r = {"error": proc.stderr[-400:]}
     out = {"cond": extra or "baseline", "wall_s": round(wall, 1),
            "urls_per_sec": r.get("urls_per_sec"),
+           "steal_pct_during": r.get("steal_pct_during"),
            "phase_seconds": r.get("phase_seconds")}
     for grp, (ut, st, n) in sorted(tr.totals().items()):
         out[grp] = {"user_s": round(ut, 1), "sys_s": round(st, 1), "procs": n}
