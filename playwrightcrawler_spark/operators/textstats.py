@@ -114,3 +114,103 @@ def fingerprints(
         id_col,
         content_fingerprint(F.col(text_col), hash_mode).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_max: float = 0.08,
+    max_run_max: int = 3,
+    ttr_min: float = 0.35,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Gopher-style repetition features per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters, adapted to word
+    n-grams because the corpus is single-line):
+
+    - ``top_bigram_frac``: share of the most frequent word 2-gram among
+      all 2-grams — catches boilerplate/template loops.
+    - ``max_token_run``: longest run of one token repeated consecutively
+      (gaps-and-islands over token positions).
+    - ``ttr``: type-token ratio (distinct/total tokens) — low values mean
+      the doc recycles a tiny vocabulary.
+    - ``repetitive``: composite drop flag on the three thresholds.
+
+    Scale shape: everything is keyed by ``id_col`` — one explode +
+    two-level agg for the bigram mode (map-side combinable; the
+    (doc, bigram) group count is bounded by the doc's own length), one
+    window (single shuffle+sort on doc id, both window functions share
+    the frame) for runs, and the final joins co-partition on the same
+    key. No driver-side collection, no UDFs; everything stays in
+    codegen/Exchange-on-doc_id, so the operator holds at 10^10 docs."""
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias(id_col), toks.alias("toks"))
+
+    feats = base.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+    # Most-frequent-2-gram share. sequence(0, -1) would step DOWNWARD in
+    # Spark SQL, so short docs are guarded to an empty array explicitly.
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "  transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    bigram_stats = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_c"), F.sum("count").alias("_tot"))
+    )
+
+    # Longest same-token run: change-flag via lag, island id via running
+    # sum, then max island size per doc.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_stats = (
+        base.select(F.col(id_col), F.posexplode("toks").alias("pos", "tok"))
+        .withColumn(
+            "_chg",
+            F.when(F.lag("tok").over(w).eqNullSafe(F.col("tok")), F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy(id_col, "_island")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_max_run"))
+    )
+
+    out = (
+        feats.join(bigram_stats, id_col, "left")
+        .join(run_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("n_distinct").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("ttr"),
+            F.round(
+                F.coalesce(F.col("_top_c").cast("double") / F.col("_tot"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.coalesce(F.col("_max_run"), F.lit(0)).alias("max_token_run"),
+        )
+    )
+    # The bigram criterion is meaningful only past a minimum length: a
+    # short all-unique doc still has top_bigram_frac = 1/(n-1), which
+    # would false-positive every tweet-sized document. Runs and TTR stay
+    # ungated — a low TTR or a long run in a tiny doc IS repetition.
+    return out.withColumn(
+        "repetitive",
+        ((F.col("n_tokens") >= min_tokens) & (F.col("top_bigram_frac") >= top_bigram_max))
+        | (F.col("max_token_run") > max_run_max)
+        | (F.col("ttr") <= ttr_min),
+    )

@@ -594,6 +594,59 @@ ORACLES: dict[str, str] = {
                 AND mwl >= 2.0 AND mwl <= 12.0 AND pr <= 0.2) AS keep
         FROM f ORDER BY doc_id
     """,
+    "repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+             base AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct
+                FROM toks
+             ),
+             bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks) - 1),
+                              i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+                FROM toks WHERE len(toks) >= 2
+             ),
+             bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+             bgs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot FROM bgc GROUP BY 1),
+             pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks)),
+                              i -> struct_pack(pos := i, tok := toks[i + 1]))) AS u
+                FROM toks
+             ),
+             flagged AS (
+                SELECT doc_id, u.pos AS pos, u.tok AS tok,
+                       CASE WHEN lag(u.tok) OVER (PARTITION BY doc_id ORDER BY u.pos)
+                                 IS DISTINCT FROM u.tok THEN 1 ELSE 0 END AS chg
+                FROM pos
+             ),
+             isl AS (
+                SELECT doc_id, tok,
+                       sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM flagged
+             ),
+             runs AS (
+                SELECT doc_id, max(c) AS max_run
+                FROM (SELECT doc_id, island, count(*) AS c FROM isl GROUP BY 1, 2)
+                GROUP BY 1
+             ),
+             f AS (
+                SELECT b.doc_id,
+                       b.n_tokens,
+                       round(b.n_distinct::DOUBLE / greatest(b.n_tokens, 1), 6) AS ttr,
+                       round(coalesce(s.top_c::DOUBLE / s.tot, 0.0), 6) AS top_bigram_frac,
+                       coalesce(r.max_run, 0) AS max_token_run
+                FROM base b
+                LEFT JOIN bgs s USING (doc_id)
+                LEFT JOIN runs r USING (doc_id)
+             )
+        SELECT doc_id, n_tokens, ttr, top_bigram_frac, max_token_run,
+               ((n_tokens >= 20 AND top_bigram_frac >= 0.08)
+                OR max_token_run > 3 OR ttr <= 0.35) AS repetitive
+        FROM f ORDER BY doc_id
+    """,
     "token_counts": """
         SELECT lang,
                count(*) AS docs,

@@ -444,6 +444,18 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """[text:repetition] Gopher-style repetition filters — top-2-gram
+    share, longest same-token run, type-token ratio, composite drop
+    flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.repetition_stats(docs)
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def q_fingerprints(spark, sf_dir):
     """[text:fingerprint] canonical content fingerprints (oracle mode:
     md5; production default is xxh64)."""
@@ -679,6 +691,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
+    "repetition_stats": q_repetition_stats,
     "fingerprints": q_fingerprints,
     "downloader_scan": q_downloader_scan,
     "downloader_fetch": q_downloader_fetch,

@@ -1,0 +1,72 @@
+"""Unit edge cases for the Gopher-style repetition filters
+(operators/textstats.py::repetition_stats). Corpus-level parity with the
+DuckDB oracle lives in tests/test_oracle_parity.py::repetition_stats;
+this file pins the degenerate shapes the fixture corpus cannot produce:
+empty text, a single token, an all-one-token doc, and an exact
+bigram-loop doc.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from playwrightcrawler_spark.operators.textstats import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, ""),                                  # empty: no tokens at all
+            (1, "word"),                              # single token, no bigrams
+            (2, "spam spam spam spam spam spam"),     # one token repeated
+            (3, "buy now buy now buy now buy now"),   # pure 2-gram loop
+            (4, "a genuinely varied sentence with distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = repetition_stats(docs).orderBy("doc_id").collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_empty_doc(stats):
+    r = stats[0]
+    assert r["n_tokens"] == 0
+    assert r["top_bigram_frac"] == 0.0
+    assert r["max_token_run"] == 0
+    # ttr guards the 0/0 with greatest(n,1): 0 distinct / 1
+    assert r["ttr"] == 0.0
+
+
+def test_single_token(stats):
+    r = stats[1]
+    assert r["n_tokens"] == 1
+    assert r["top_bigram_frac"] == 0.0  # sequence() guard: no [0,-1] walk
+    assert r["max_token_run"] == 1
+    assert r["ttr"] == 1.0
+    assert r["repetitive"] is False
+
+
+def test_all_same_token(stats):
+    r = stats[2]
+    assert r["n_tokens"] == 6
+    assert r["max_token_run"] == 6
+    assert r["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert r["ttr"] == pytest.approx(1 / 6, abs=1e-6)
+    assert r["repetitive"] is True
+
+
+def test_bigram_loop(stats):
+    r = stats[3]
+    assert r["n_tokens"] == 8
+    assert r["max_token_run"] == 1          # no token repeats consecutively
+    # 7 bigrams: "buy now" x4, "now buy" x3
+    assert r["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert r["repetitive"] is True
+
+
+def test_varied_doc_not_flagged(stats):
+    r = stats[4]
+    assert r["ttr"] == 1.0
+    assert r["max_token_run"] == 1
+    assert r["repetitive"] is False
