@@ -185,6 +185,50 @@ def shingles_col(text, n: int = 3):
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 GPT-3 appendix C /
+    Lee et al. 2022): flag training documents sharing any word ``n``-gram
+    with an evaluation set, so eval answers don't leak into training.
+
+    Returns every row of ``df`` with ``n_ngrams`` (its distinct n-gram
+    count), ``n_overlap`` (how many of those appear anywhere in
+    ``benchmark``), and ``contaminated`` (``n_overlap >= min_hits``).
+
+    Scale shape: eval benchmarks are small by definition, so their
+    distinct n-gram set (one explode + distinct over the SMALL side only)
+    is broadcast — the 100 TB training corpus is exploded map-side and
+    joined without shuffling its rows; the only big-side shuffle is the
+    per-doc overlap count, map-side combinable on ``id_col``. ``n`` = 5
+    keeps random n-gram collisions near zero (use 13 for GPT-3 parity on
+    real text; the synthetic corpus's tiny vocabulary needs a shorter
+    window to exercise the operator)."""
+    bench_grams = (
+        benchmark.select(F.explode(shingles_col(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        df.select(F.col(id_col), F.size(shingles_col(F.col(text_col), n)).alias("n_ngrams"))
+        .join(hits, id_col, "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") >= min_hits)
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

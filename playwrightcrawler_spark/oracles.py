@@ -489,6 +489,31 @@ ORACLES: dict[str, str] = {
     # probe set — the answer is identical by construction, so it shares
     # the recompute-everything oracle
     "embedding_lsh_topk_bucketed": _lsh_topk_oracle(),
+    "decontaminate": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN len({_TOKS}) >= 5 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, len({_TOKS}) - 4),
+                           i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' ')
+                       ))
+                   ELSE [] END AS sh
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 23 = 0),
+        cand AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 23 != 0),
+        hits AS (
+            SELECT doc_id, count(*) AS n_overlap
+            FROM cand JOIN bench USING (gram) GROUP BY 1
+        )
+        SELECT s.doc_id,
+               len(s.sh) AS n_ngrams,
+               coalesce(h.n_overlap, 0) AS n_overlap,
+               coalesce(h.n_overlap, 0) >= 1 AS contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE s.doc_id % 23 != 0
+        ORDER BY s.doc_id
+    """,
     "ngram_jaccard": f"""
         WITH corpus AS ({_DOCS_WITH_COPIES}),
         {_SIG_SQL},

@@ -307,6 +307,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_verify(both, pairs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+def q_decontaminate(spark, sf_dir):
+    """[dedup:decontaminate] benchmark n-gram overlap flagging — docs with
+    doc_id % 23 == 0 play the held-out eval set, the rest the training
+    corpus; any shared word 5-gram marks a training doc contaminated."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return (
+        dedup.decontaminate(train, bench, n=5)
+        .withColumn("n_ngrams", F.col("n_ngrams").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def q_simhash_candidates(spark, sf_dir):
     """[dedup:simhash] md5-derived 64-bit SimHash + 16-bit-chunk banding.
     Oracle: DuckDB recomputes the whole pipeline — token md5-prefix
@@ -683,6 +697,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_lsh_pairs_xxh": q_minhash_lsh_pairs_xxh,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "simhash_candidates": q_simhash_candidates,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
