@@ -426,6 +426,16 @@ ORACLES: dict[str, str] = {
         SELECT user_id, event_id, rn FROM r WHERE rn <= 3
     """,
     # -------------------------------------------------------- distributions
+    "events_windowed": """
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+               event_type,
+               count(*) AS events,
+               round(sum(value), 6) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 3
+    """,
     "distribution_by_type": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type

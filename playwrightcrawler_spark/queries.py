@@ -195,6 +195,17 @@ def q_distribution_by_type(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """[A1/streaming] tumbling 6-hour event-time rollup — the SAME
+    transformation the streaming path runs with a watermark
+    (streaming/rollup.py); batch mode here is the oracle-checkable
+    half of the pair."""
+    from playwrightcrawler_spark.streaming.rollup import windowed_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_rollup(ev).orderBy("window_start", "event_type")
+
+
 def q_docs_by_lang(spark, sf_dir):
     """[A4] corpus distribution by language."""
     docs = _t(spark, sf_dir, "documents")
@@ -689,6 +700,7 @@ QUERIES = {
     "minmax_timestamp": q_minmax_timestamp,
     "latest_per_host": q_latest_per_host,
     "distribution_by_type": q_distribution_by_type,
+    "events_windowed": q_events_windowed,
     "docs_by_lang": q_docs_by_lang,
     "cleanup_rules": q_cleanup_rules,
     "topk_words": q_topk_words,

@@ -100,6 +100,73 @@ def test_streaming_politeness_gate(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_windowed_rollup_watermark(spark, tmp_path):
+    """The batch-oracled windowed_rollup (queries.py::events_windowed)
+    run in STREAMING mode: append output emits a window only once its
+    watermark passes, late-but-within-bound events land in their window,
+    and too-late events are silently dropped."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from playwrightcrawler_spark.streaming.rollup import windowed_rollup
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).csv(str(src))
+    rolled = windowed_rollup(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .start()
+    )
+    try:
+        # batch 1: two events in window [10:00, 11:00) — watermark ends
+        # at 10:20, window still open, nothing emitted
+        (src / "b1.csv").write_text(
+            "2024-01-01 10:05:00,click,1.0\n2024-01-01 10:50:00,click,2.0\n"
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM rollup_test").count() == 0
+
+        # batch 2: 12:00 advances the watermark to 11:30 > 11:00, so
+        # window [10,11) finalizes — INCLUDING the 10:30 event that is
+        # late (watermark was 10:20) but inside the 30-minute bound
+        (src / "b2.csv").write_text(
+            "2024-01-01 12:00:00,click,4.0\n2024-01-01 10:30:00,click,8.0\n"
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_test").collect()
+        }
+        assert rows == {("2024-01-01T10:00:00", 3, 11.0)}
+
+        # batch 3: 14:00 closes window [12,13); the 10:45 event is past
+        # the watermark (11:30) — dropped, the closed window NOT revised
+        (src / "b3.csv").write_text(
+            "2024-01-01 14:00:00,click,16.0\n2024-01-01 10:45:00,click,32.0\n"
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_test").collect()
+        }
+        assert rows == {
+            ("2024-01-01T10:00:00", 3, 11.0),
+            ("2024-01-01T12:00:00", 1, 4.0),
+        }
+    finally:
+        q.stop()
+
+
 def test_snapshot_delta_semantics(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "log", kind="delta")
     t.append(spark, spark.range(3).select(F.col("id")))
