@@ -116,6 +116,48 @@ def fingerprints(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality proxy (CCNet, Wenzek et al. 2020, which ranks
+    documents by LM perplexity): score each document by the mean log
+    probability of its tokens under the corpus's own unigram
+    distribution, plus ``ppl`` = exp(-mean) — the perplexity of the
+    unigram model on the doc. Outlier-vocabulary documents (gibberish,
+    boilerplate in the wrong language) score low without any external
+    model artifact.
+
+    Scale shape: the unigram table is vocabulary-sized (millions of rows
+    at web scale, built by one explode + map-side-combinable groupBy over
+    the corpus) and BROADCAST back, so the corpus is exploded exactly
+    twice and its rows never shuffle on the token key; the per-doc mean
+    is the single doc-keyed shuffle. The corpus total rides the same
+    broadcast (window-free ``sum over ()``), keeping the whole pipeline
+    two jobs with no driver-side collection."""
+    toks = tokens_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    freq = exploded.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    # total corpus tokens attached without a driver round-trip: an
+    # unpartitioned window sum over the (small) vocabulary table
+    from pyspark.sql import Window
+
+    freq = freq.withColumn("_total", F.sum("tok_n").over(Window.partitionBy()))
+    freq = freq.withColumn(
+        "logp", F.log(F.col("tok_n").cast("double") / F.col("_total"))
+    ).select("tok", "logp")
+    return (
+        exploded.join(F.broadcast(freq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

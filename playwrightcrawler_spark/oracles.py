@@ -629,6 +629,20 @@ ORACLES: dict[str, str] = {
                 AND mwl >= 2.0 AND mwl <= 12.0 AND pr <= 0.2) AS keep
         FROM f ORDER BY doc_id
     """,
+    "unigram_logprob": f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+             freq AS (SELECT tok, count(*) AS tok_n FROM tok GROUP BY 1),
+             lp AS (
+                SELECT tok, ln(tok_n::DOUBLE / sum(tok_n) OVER ()) AS logp
+                FROM freq
+             )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(logp), 6) AS mean_logprob,
+               round(exp(-avg(logp)), 6) AS ppl
+        FROM tok JOIN lp USING (tok)
+        GROUP BY 1 ORDER BY 1
+    """,
     "repetition_stats": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
              base AS (

@@ -469,6 +469,13 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(docs)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """[text:lm-quality] CCNet-style perplexity proxy — mean unigram
+    log-probability of each doc under the corpus's own distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs).orderBy("doc_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """[text:repetition] Gopher-style repetition filters — top-2-gram
     share, longest same-token run, type-token ratio, composite drop
@@ -719,6 +726,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "repetition_stats": q_repetition_stats,
+    "unigram_logprob": q_unigram_logprob,
     "fingerprints": q_fingerprints,
     "downloader_scan": q_downloader_scan,
     "downloader_fetch": q_downloader_fetch,

@@ -70,3 +70,30 @@ def test_varied_doc_not_flagged(stats):
     assert r["ttr"] == 1.0
     assert r["max_token_run"] == 1
     assert r["repetitive"] is False
+
+
+def test_unigram_logprob_semantics(spark):
+    from playwrightcrawler_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),   # the common vocabulary...
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "qwerty zxcvb unheard rare"),  # ...vs one outlier doc
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    # outlier vocabulary scores strictly lower (CCNet would cut it)
+    assert rows[3]["mean_logprob"] < rows[0]["mean_logprob"]
+    assert rows[3]["ppl"] > rows[0]["ppl"]
+
+    uniform = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g h")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r.asDict() for r in unigram_logprob(uniform).collect()}
+    # every token unique once => unigram model is uniform over 8 types,
+    # so each doc's perplexity IS the vocabulary size
+    assert rows[0]["ppl"] == pytest.approx(8.0, abs=1e-6)
+    assert rows[1]["ppl"] == pytest.approx(8.0, abs=1e-6)
