@@ -185,6 +185,77 @@ def shingles_col(text, n: int = 3):
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "xxh64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, and keep each window's minimum (rightmost on
+    ties). Guarantee: any two documents sharing a span of at least
+    ``w + k - 1`` tokens share a fingerprint, at ~2/(w+1) the storage of
+    all-grams — the local, position-robust alternative to whole-doc
+    fingerprints for partial-overlap detection.
+
+    Returns (``id_col``, ``pos``, ``fp``) — 1-based selected gram
+    position and its hash. The rightmost-min tie-break is encoded in ONE
+    totally ordered string key ``hash '#' (10^9 - pos)`` so a plain
+    windowed ``min`` implements argmin-with-rightmost-tie identically on
+    Spark and DuckDB (the winnowing guarantee holds under ANY
+    deterministic total order on hashes). Docs with fewer than ``w``
+    grams degrade to the global rightmost-min; docs shorter than ``k``
+    tokens yield no fingerprint.
+
+    Scale shape: posexplode is map-side; the only shuffle is the
+    doc-keyed window sort, and selection dedup reuses that partitioning
+    — linear at any corpus size, no self-joins."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(grams).alias("pos0", "gram"),
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    if hash_mode == "md5":
+        h = F.substring(F.md5(F.col("gram")), 1, 16)
+    else:
+        h = F.lower(F.lpad(F.hex(F.xxhash64(F.col("gram"))), 16, "0"))
+    key = F.concat(
+        h, F.lit("#"), F.lpad((F.lit(999999999) - F.col("pos")).cast("string"), 9, "0")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = F.count("*").over(Window.partitionBy(id_col))
+    sel = (
+        g.withColumn("_key", key)
+        .withColumn("_ng", n_grams)
+        .withColumn("_sel", F.min("_key").over(win))
+        # a window starts at every position that still has w grams ahead
+        # (or at pos 1 when the doc has fewer than w grams — the frame
+        # clips to the partition end and degrades to the global min)
+        .filter(F.col("pos") <= F.greatest(F.col("_ng") - (w - 1), F.lit(1)))
+        .select(F.col(id_col), F.col("_sel"))
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        (F.lit(999999999) - F.substring_index("_sel", "#", -1).cast("int")).alias("pos"),
+        F.substring_index("_sel", "#", 1).alias("fp"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

@@ -499,6 +499,40 @@ ORACLES: dict[str, str] = {
     # probe set — the answer is identical by construction, so it shares
     # the recompute-everything oracle
     "embedding_lsh_topk_bucketed": _lsh_topk_oracle(),
+    "winnowing": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 100
+        ),
+        g0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                       i -> struct_pack(pos := i,
+                            gram := array_to_string(list_slice(toks, i, i + 2), ' ')))) AS u
+            FROM toks WHERE len(toks) >= 3
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos,
+                   substring(md5(u.gram), 1, 16) AS h
+            FROM g0
+        ),
+        keyed AS (
+            SELECT doc_id, pos,
+                   h || '#' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM g
+        ),
+        selw AS (
+            SELECT doc_id, pos, ng,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+            FROM keyed
+        ),
+        s AS (SELECT DISTINCT doc_id, sel FROM selw WHERE pos <= greatest(ng - 3, 1))
+        SELECT doc_id,
+               CAST(999999999 - CAST(split_part(sel, '#', 2) AS INT) AS INT) AS pos,
+               split_part(sel, '#', 1) AS fp
+        FROM s ORDER BY doc_id, pos
+    """,
     "decontaminate": f"""
         WITH sh AS (
             SELECT doc_id,

@@ -318,6 +318,15 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.jaccard_verify(both, pairs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+def q_winnowing(spark, sf_dir):
+    """[dedup:winnow] MOSS winnowing fingerprints (k=3 token grams,
+    window w=4; md5 oracle mode — production default is xxh64)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.winnowing_fingerprints(
+        docs, k=3, w=4, hash_mode="md5"
+    ).orderBy("doc_id", "pos")
+
+
 def q_decontaminate(spark, sf_dir):
     """[dedup:decontaminate] benchmark n-gram overlap flagging — docs with
     doc_id % 23 == 0 play the held-out eval set, the rest the training
@@ -717,6 +726,7 @@ QUERIES = {
     "minhash_lsh_pairs_xxh": q_minhash_lsh_pairs_xxh,
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
+    "winnowing": q_winnowing,
     "simhash_candidates": q_simhash_candidates,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,

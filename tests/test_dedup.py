@@ -53,6 +53,48 @@ def test_decontaminate_min_hits(frames):
     assert rows[0] is False  # one shared span < 10 hits
 
 
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. §2: two docs sharing a span of >= w + k - 1
+    tokens (here 4 + 3 - 1 = 6) MUST share at least one fingerprint."""
+    from playwrightcrawler_spark.operators.dedup import winnowing_fingerprints
+
+    span = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (0, f"left padding words then {span} and a tail here"),
+            (1, f"completely different head {span} different ending too"),
+            (2, "no overlap with anything else in this tiny corpus at all"),
+            (3, "ab"),  # shorter than k tokens: no grams, no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 6-token span must share a fingerprint"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+    assert 3 not in by_doc
+    # density: winnowing keeps far fewer than all grams but at least one
+    # per w-window — for n grams that is between n/w-ish and n
+    n_grams_doc0 = 9 - 3 + 1  # 9 tokens
+    assert 1 <= len(by_doc[0]) < n_grams_doc0
+
+
+def test_winnowing_rightmost_tiebreak(spark):
+    """An all-identical-token doc has ONE distinct gram hash everywhere;
+    rightmost-min tie-break must pick the LAST position of each window,
+    so selections are the window-end positions, deduped."""
+    from playwrightcrawler_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame([(0, "x x x x x x x x")], ["doc_id", "text"])
+    rows = winnowing_fingerprints(docs, k=3, w=4).collect()
+    # 6 grams, windows start at pos 1..3, each selecting its rightmost
+    # (pos 4, 5, 6) — all same hash, three distinct positions
+    assert sorted(r["pos"] for r in rows) == [4, 5, 6]
+    assert len({r["fp"] for r in rows}) == 1
+
+
 def test_decontaminate_broadcasts_benchmark(frames):
     docs, bench = frames
     plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
