@@ -256,6 +256,52 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+    hash_mode: str = "xxh64",
+) -> DataFrame:
+    """Cross-document partial-overlap detection on winnowing fingerprints
+    (the candidate-generation half of Lee et al. 2022 exact-substring
+    dedup): two docs sharing ``min_shared`` selected fingerprints very
+    likely share long verbatim spans, found WITHOUT any all-pairs scan.
+
+    Fingerprints occurring in more than ``max_df`` documents are dropped
+    first — ubiquitous grams (boilerplate, stop-phrases) carry no dedup
+    signal and would otherwise blow the bucket join up quadratically;
+    this is the same bucket-bound discipline as the LSH band join.
+
+    Scale shape: fingerprint → doc-list is one map-side-combinable
+    groupBy; the self-join happens only WITHIN a fingerprint bucket
+    (bounded by ``max_df``), so worst-case work is
+    ``n_fingerprints × max_df²`` — linear in the corpus for fixed
+    ``max_df``, never O(N²)."""
+    fps = winnowing_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, hash_mode=hash_mode
+    ).select(F.col(id_col), "fp").distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def decontaminate(
     df: DataFrame,
     benchmark: DataFrame,

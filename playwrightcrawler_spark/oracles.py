@@ -533,6 +533,48 @@ ORACLES: dict[str, str] = {
                split_part(sel, '#', 1) AS fp
         FROM s ORDER BY doc_id, pos
     """,
+    "winnowing_pairs": f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM base
+        ),
+        toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+        g0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                       i -> struct_pack(pos := i,
+                            gram := array_to_string(list_slice(toks, i, i + 2), ' ')))) AS u
+            FROM toks WHERE len(toks) >= 3
+        ),
+        g AS (
+            SELECT doc_id, u.pos AS pos, substring(md5(u.gram), 1, 16) AS h FROM g0
+        ),
+        keyed AS (
+            SELECT doc_id, pos,
+                   h || '#' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0') AS key,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM g
+        ),
+        selw AS (
+            SELECT doc_id, pos, ng,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+            FROM keyed
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, split_part(sel, '#', 1) AS fp
+            FROM selw WHERE pos <= greatest(ng - 3, 1)
+        ),
+        rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+        fr AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        FROM fr a JOIN fr b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        ORDER BY id_a, id_b
+    """,
     "decontaminate": f"""
         WITH sh AS (
             SELECT doc_id,

@@ -327,6 +327,18 @@ def q_winnowing(spark, sf_dir):
     ).orderBy("doc_id", "pos")
 
 
+def q_winnowing_pairs(spark, sf_dir):
+    """[dedup:winnow-pairs] cross-doc partial-overlap candidates: docs
+    sharing >= 2 winnowing fingerprints over doc-ids < 100 plus their
+    exact copies (each doc must pair with its copy)."""
+    docs = _docs_with_copies(spark, sf_dir).filter(
+        (F.col("doc_id") % 1_000_000) < 100
+    )
+    return dedup.winnowing_overlap_pairs(
+        docs, k=3, w=4, min_shared=2, max_df=20, hash_mode="md5"
+    ).orderBy("id_a", "id_b")
+
+
 def q_decontaminate(spark, sf_dir):
     """[dedup:decontaminate] benchmark n-gram overlap flagging — docs with
     doc_id % 23 == 0 play the held-out eval set, the rest the training
@@ -727,6 +739,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
     "winnowing": q_winnowing,
+    "winnowing_pairs": q_winnowing_pairs,
     "simhash_candidates": q_simhash_candidates,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,

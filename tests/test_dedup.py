@@ -95,6 +95,40 @@ def test_winnowing_rightmost_tiebreak(spark):
     assert len({r["fp"] for r in rows}) == 1
 
 
+def test_winnowing_overlap_pairs(spark):
+    from playwrightcrawler_spark.operators.dedup import winnowing_overlap_pairs
+
+    span = "shared verbatim span of many tokens runs through here nicely"
+    docs = spark.createDataFrame(
+        [
+            (0, f"doc zero head {span} doc zero tail words"),
+            (1, f"doc one other head {span} and another ending"),
+            (2, "unrelated content that overlaps with nothing at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnowing_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnowing_overlap_max_df_drops_boilerplate(spark):
+    """A fingerprint present in EVERY doc (boilerplate) must be excluded
+    by the document-frequency cap, leaving no candidate pairs."""
+    from playwrightcrawler_spark.operators.dedup import winnowing_overlap_pairs
+
+    boiler = "all rights reserved click here to subscribe now please"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} only{i} here{i} {boiler}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    pairs = winnowing_overlap_pairs(docs, min_shared=1, max_df=3).collect()
+    assert pairs == []
+
+
 def test_decontaminate_broadcasts_benchmark(frames):
     docs, bench = frames
     plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
