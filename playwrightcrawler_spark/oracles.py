@@ -436,6 +436,29 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY 1, 3
     """,
+    "sessionize": """
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '6 hours'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM e
+        )
+        SELECT user_id,
+               epoch_us(min(ts)) AS start_us,
+               epoch_us(max(ts) + INTERVAL '6 hours') AS end_us,
+               count(*) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, start_us
+    """,
     "distribution_by_type": """
         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type

@@ -206,6 +206,22 @@ def q_events_windowed(spark, sf_dir):
     return windowed_rollup(ev).orderBy("window_start", "event_type")
 
 
+def q_sessionize(spark, sf_dir):
+    """[A/streaming] gap-based sessionization via native session_window
+    (6-hour inactivity gap), oracled by a DuckDB gaps-and-islands
+    recomputation."""
+    from playwrightcrawler_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        "n_events", "total_value",
+    ).orderBy("user_id", "start_us")
+
+
 def q_docs_by_lang(spark, sf_dir):
     """[A4] corpus distribution by language."""
     docs = _t(spark, sf_dir, "documents")
@@ -729,6 +745,7 @@ QUERIES = {
     "latest_per_host": q_latest_per_host,
     "distribution_by_type": q_distribution_by_type,
     "events_windowed": q_events_windowed,
+    "sessionize": q_sessionize,
     "docs_by_lang": q_docs_by_lang,
     "cleanup_rules": q_cleanup_rules,
     "topk_words": q_topk_words,

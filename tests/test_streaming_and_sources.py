@@ -167,6 +167,33 @@ def test_streaming_windowed_rollup_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_sessionize_gap_boundary(spark):
+    """Session-boundary semantics pinned: an event at EXACTLY
+    ``prev_ts + gap`` still merges (Spark session_window windows are
+    end-inclusive for the merge test); one microsecond past the gap
+    opens a new session. The DuckDB oracle's gaps-and-islands flag uses
+    strictly-greater to match — the corpus's continuous timestamps never
+    hit the boundary, so only this test pins it."""
+    import datetime as dt
+
+    from playwrightcrawler_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(hours=6)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + gap, 2.0),                                # exact gap: merges
+        (1, t0 + gap + gap + dt.timedelta(microseconds=1), 4.0),  # past gap: new
+        (2, t0, 8.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in sessionize(ev, gap="6 hours").collect()
+    )
+    assert out == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
 def test_snapshot_delta_semantics(spark, tmp_path):
     t = SnapshotTable(str(tmp_path), "log", kind="delta")
     t.append(spark, spark.range(3).select(F.col("id")))
