@@ -116,6 +116,35 @@ def fingerprints(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group sampling — the data-mixing step of a
+    training pipeline (e.g. up/down-weighting languages or sources to
+    target token ratios), made REPRODUCIBLE: selection hashes the stable
+    ``id_col`` (md5 prefix as a uniform draw in [0,1)) instead of using
+    an RNG, so the same corpus always yields the same sample, any
+    engine can recompute membership (the DuckDB oracle does), and adding
+    or removing other rows never flips a decision — properties
+    ``df.sampleBy`` cannot give across engines or runs.
+
+    Scale shape: a pure per-row filter — no shuffle, no RNG state,
+    folded into the scan by codegen; group rates compile to one CASE
+    chain."""
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.filter(draw < rate)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

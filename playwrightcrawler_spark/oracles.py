@@ -728,6 +728,14 @@ ORACLES: dict[str, str] = {
                 AND mwl >= 2.0 AND mwl <= 12.0 AND pr <= 0.2) AS keep
         FROM f ORDER BY doc_id
     """,
+    "stratified_sample": """
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              / 4294967296.0
+              < (CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.3 ELSE 0.1 END)
+        ORDER BY doc_id
+    """,
     "unigram_logprob": f"""
         WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
              freq AS (SELECT tok, count(*) AS tok_n FROM tok GROUP BY 1),

@@ -513,6 +513,19 @@ def q_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(docs).orderBy("doc_id")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """[text:mixing] deterministic hash-based per-language sampling —
+    en kept at 60%, fr 30%, everything else 10%."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        textstats.stratified_sample(
+            docs, {"en": 0.6, "fr": 0.3}, default_rate=0.1
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """[text:repetition] Gopher-style repetition filters — top-2-gram
     share, longest same-token run, type-token ratio, composite drop
@@ -767,6 +780,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "repetition_stats": q_repetition_stats,
     "unigram_logprob": q_unigram_logprob,
+    "stratified_sample": q_stratified_sample,
     "fingerprints": q_fingerprints,
     "downloader_scan": q_downloader_scan,
     "downloader_fetch": q_downloader_fetch,

@@ -9,6 +9,7 @@ bigram-loop doc.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from playwrightcrawler_spark.operators.textstats import repetition_stats
 
@@ -70,6 +71,34 @@ def test_varied_doc_not_flagged(stats):
     assert r["ttr"] == 1.0
     assert r["max_token_run"] == 1
     assert r["repetitive"] is False
+
+
+def test_stratified_sample_deterministic_and_stable(spark, sf_dir):
+    from playwrightcrawler_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.6, "fr": 0.3}
+    first = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    again = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    assert first == again  # no RNG: identical runs, identical sample
+
+    # per-group rate lands near target (binomial tolerance at n~100-200)
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = docs.filter("lang = 'en'").join(
+        spark.createDataFrame([(i,) for i in first], ["doc_id"]), "doc_id"
+    ).count()
+    assert abs(en_kept / en_total - 0.6) < 0.15
+
+    # membership is per-row: dropping OTHER rows never flips a decision
+    half = docs.filter("doc_id % 2 = 0")
+    half_kept = {r["doc_id"] for r in stratified_sample(half, rates).collect()}
+    assert half_kept == {i for i in first if i % 2 == 0}
+
+    # unknown groups fall to default_rate=0.0 → dropped entirely
+    none_kept = stratified_sample(
+        docs.withColumn("lang", F.lit("xx")), rates
+    ).count()
+    assert none_kept == 0
 
 
 def test_unigram_logprob_semantics(spark):
