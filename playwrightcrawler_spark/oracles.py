@@ -436,6 +436,20 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2, 3
         ORDER BY 1, 3
     """,
+    "asof_join": """
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ),
+        signups AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'signup'
+        )
+        SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts_us,
+               coalesce(epoch_us(s.ts), -1) AS signup_ts_us,
+               coalesce(round(s.value, 6), -1.0) AS signup_value
+        FROM clicks c ASOF LEFT JOIN signups s
+          ON c.user_id = s.user_id AND c.ts >= s.ts
+        ORDER BY c.user_id, ts_us
+    """,
     "sessionize": """
         WITH e AS (
             SELECT user_id, ts, value,

@@ -222,6 +222,27 @@ def q_sessionize(spark, sf_dir):
     ).orderBy("user_id", "start_us")
 
 
+def q_asof_join(spark, sf_dir):
+    """[custom-op] as-of (point-in-time) join: each click enriched with
+    the user's latest signup at or before it — merge-scan composition,
+    oracled by DuckDB's native ASOF LEFT JOIN."""
+    from playwrightcrawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join(clicks, signups, key_col="user_id", ts_col="ts",
+                    value_cols=["value"])
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_asof").cast("timestamp")), F.lit(-1)
+        ).alias("signup_ts_us"),
+        F.coalesce(F.round(F.col("value_asof"), 6), F.lit(-1.0)).alias("signup_value"),
+    ).orderBy("user_id", "ts_us")
+
+
 def q_docs_by_lang(spark, sf_dir):
     """[A4] corpus distribution by language."""
     docs = _t(spark, sf_dir, "documents")
@@ -759,6 +780,7 @@ QUERIES = {
     "distribution_by_type": q_distribution_by_type,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "docs_by_lang": q_docs_by_lang,
     "cleanup_rules": q_cleanup_rules,
     "topk_words": q_topk_words,
