@@ -125,13 +125,31 @@ def lsh_candidate_pairs(
     with id_a < id_b. The join key is a hash of the band → uniform,
     skew-free.
 
-    The signature frame is persisted first: the self-join otherwise
-    recomputes the full explode→groupBy signature pipeline for BOTH sides
-    (measured 6× slower — exchange reuse does not fire across the banded
-    self-join under AQE). Signatures are K longs per doc, orders of
-    magnitude smaller than the corpus, so persisting them is the standard
-    MinHash-at-scale layout (on a cluster: a persisted table, not memory)."""
-    sig = sig.persist()
+    The signature frame is materialized first (localCheckpoint — the
+    single-JVM analogue of the persisted signature table every
+    MinHash-at-scale deployment keeps: K longs per doc, orders of
+    magnitude smaller than the corpus): the self-join otherwise
+    recomputes the full explode→groupBy signature pipeline for BOTH
+    sides (measured 6× slower — exchange reuse does not fire across the
+    banded self-join under AQE). The candidate PAIRS stay lazy: the
+    round-6 shape checkpointed the ~21M-pair bench result instead, which
+    both wrote/re-read every pair and pinned ~340 MB of block-manager
+    memory per invocation until driver GC — measured r7, dropping it
+    cut the md5 query ~10% and removed the GC pressure the pinned
+    blocks put on every later query in the session (guide §5 caching:
+    persist only what is reused AND cheaper than recomputing).
+
+    The explicit repartition pins the checkpointed frame's partition
+    count: AQE otherwise coalesces the tiny signature shuffle to ONE
+    partition (signatures are KB-sized), and since the banded self-join
+    broadcasts one side, the ~1000× candidate-pair expansion downstream
+    runs inside that single task (measured r7: 21 s vs 4 s at bench
+    scale — the guide-§2.5 pattern of a coalesced input hiding a
+    post-join explosion AQE cannot see). An explicit numbered
+    repartition is exempt from AQE coalescing, so the expansion keeps
+    cluster-width parallelism at any scale."""
+    npart = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sig = sig.repartition(npart).localCheckpoint(eager=True)
     rows = num_hashes // bands
     banded = sig
     band_cols = []
@@ -158,14 +176,6 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
-    # Materialize the (small) pair set, then release the signature cache:
-    # repeated invocations in one session (bench runs md5 + xxh64 modes,
-    # jaccard reuses the pipeline) would otherwise accumulate persisted
-    # partitions for the session's lifetime (round-2 advice). On a cluster
-    # this is a persisted table; localCheckpoint is the single-JVM analogue
-    # and also saves downstream consumers the banded-join recompute.
-    pairs = pairs.localCheckpoint(eager=True)
-    sig.unpersist()
     return pairs
 
 

@@ -200,7 +200,15 @@ def make_multiband_signature_udf(dim: int, bits: int, bands: int, seed: int):
         sigs = bits_m.reshape(len(mat), bands, bits) @ weights
         return pd.Series([row.tolist() for row in sigs])
 
-    return signatures
+    # nondeterministic marker (guide §4.4): the posexplode downstream pushes
+    # a size/isnotnull filter on the UDF output below itself, and the
+    # optimizer then evaluates the UDF TWICE per branch (one ArrowEvalPython
+    # under the filter, one in the projection — 8 python crossings in the
+    # round-6 near-dup plan). The function is in fact deterministic (seeded
+    # planes), so retry semantics are unaffected; the marker only stops the
+    # optimizer from duplicating the expression. Plan-asserted in
+    # tests/test_plans.py.
+    return signatures.asNondeterministic()
 
 
 def pairwise_near_dups(
@@ -232,6 +240,14 @@ def pairwise_near_dups(
         df.select(id_col, vec_col)
         .withColumn("_sigs", sig_udf(F.col(vec_col)))
         .select(id_col, F.posexplode(F.col("_sigs")).alias("band", "sig"))
+        # materialize the (id, band, sig) skeleton ONCE — id + 2 ints per
+        # band per vector, the persisted-signature-table shape of
+        # write_bucketed_signatures. Without it the self-join below clones
+        # the whole scan→UDF subtree into both sides (2 more python
+        # crossings and 2 more corpus scans); with it the join reads a
+        # tiny materialized RDD. Measured r7: 1.38 → 1.03 s warm on the
+        # bench query, python crossings 8 → 1.
+        .localCheckpoint(eager=True)
     )
     l = skeleton.select("band", "sig", F.col(id_col).alias("id_a"))
     r = skeleton.select("band", "sig", F.col(id_col).alias("id_b"))
