@@ -149,6 +149,7 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Model-based quality proxy (CCNet, Wenzek et al. 2020, which ranks
     documents by LM perplexity): score each document by the mean log
@@ -160,11 +161,21 @@ def unigram_logprob(
 
     Scale shape: the unigram table is vocabulary-sized (millions of rows
     at web scale, built by one explode + map-side-combinable groupBy over
-    the corpus) and BROADCAST back, so the corpus is exploded exactly
-    twice and its rows never shuffle on the token key; the per-doc mean
-    is the single doc-keyed shuffle. The corpus total rides the same
-    broadcast (window-free ``sum over ()``), keeping the whole pipeline
-    two jobs with no driver-side collection."""
+    the corpus) and — by default — BROADCAST back, so the corpus is
+    exploded exactly twice and its rows never shuffle on the token key;
+    the per-doc mean is the single doc-keyed shuffle. The corpus total
+    rides the same broadcast (window-free ``sum over ()``), keeping the
+    whole pipeline two jobs with no driver-side collection.
+
+    ``broadcast_vocab``: the broadcast assumes a vocabulary that fits
+    executor/driver memory (fine into the tens of millions of rows).
+    On a typo/noise-heavy open-web corpus the distinct-token table can
+    reach 10^8-10^9 rows — past Spark's 8 GB / 512M-row broadcast cap —
+    so callers at that shape pass ``False``: the join then shuffles on
+    the token key (both sides hash-partitioned; the exploded corpus
+    pays one extra exchange, which is the correct trade when the
+    alternative is an executor OOM). Results are identical either way
+    (pinned in tests/test_textstats.py)."""
     toks = tokens_col(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     freq = exploded.groupBy("tok").agg(F.count("*").alias("tok_n"))
@@ -177,7 +188,7 @@ def unigram_logprob(
         "logp", F.log(F.col("tok_n").cast("double") / F.col("_total"))
     ).select("tok", "logp")
     return (
-        exploded.join(F.broadcast(freq), "tok")
+        exploded.join(F.broadcast(freq) if broadcast_vocab else freq, "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
