@@ -118,5 +118,14 @@ BLOOM_ITEMS_PER_BUCKET = BLOOM_EXPECTED_ITEMS // HOST_SALT_BUCKETS
 # flip volume, not commit count, is what grows the read-path join side
 COMPACT_FLIP_ROWS = 2_000_000
 
+# crawled-commit write sizing (r7): target rows per write task for the
+# bounded coalesce before the crawled append. Scale-invariant bound: it
+# caps each task's dynamic-partition sort buffer (~rows × page-text
+# weight) independent of core count or wave size, while collapsing the
+# per-task fixed costs (plan deserialization, email-branch python
+# roundtrip) that dominated the commit stage at one-task-per-scan-split
+# granularity. ~1000 × 100 KB ≈ 100 MB per task at CC page weight.
+WRITE_TASK_ROWS = int(os.environ.get("SPARK_GRAFT_WRITE_TASK_ROWS", "1000"))
+
 # default parallelism used by tests/bench on this sandbox
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))

@@ -606,16 +606,26 @@ class CrawlEngine:
             F.count(F.when((F.col("route") != "missing") & (F.col("route") != "email"), 1)).alias("fetched_ok"),
             F.count(F.when(F.col("route") == "email", 1)).alias("emails"),
         )
-        # the commit writes straight from the cache partitions (one per
-        # scan split): the projection above is pure JVM, so fine write
-        # tasks cost only parquet open/close. Coalescing to core width was
-        # tried and rejected — the dynamic-partition write sorts each
-        # task's input, and wide coalesced tasks buffer hundreds of MB of
-        # extracted text (UNABLE_TO_ACQUIRE_MEMORY at local[2] with ~5k
-        # 100KB-text rows per write task); MoR compaction already bounds
-        # file counts across waves.
+        # Bounded coalesce before the commit (r7, guide §6 small-files /
+        # §2.2 fewer-larger tasks): writing straight from the cache
+        # partitions launched scan-splits + email-branch tasks (~481 at
+        # bench shape) each re-deserializing the wave's very large
+        # serialized plan — event-log metrics showed ~36 core-s of task
+        # deserialization + a python roundtrip per email task against
+        # only ~21 core-s of actual cpu. Coalescing to ~WRITE_TASK_ROWS
+        # rows per task cuts that fixed per-task cost ~10× while keeping
+        # each write task's dynamic-partition sort buffer bounded
+        # (~100 MB of text at CC page weight) — coalescing to CORE WIDTH
+        # was tried in round 4 and rejected because unbounded rows/task
+        # (~5k at local[2]) blew execution memory; the row-bound keeps
+        # the buffer flat at any core count. Floor at npart so narrow
+        # waves still use the cores.
+        # rounded UP to a multiple of npart: 41 tasks on 32 slots runs
+        # 1.28 quantized rounds with 23 slots idle in the tail — the
+        # packing loss eats the per-task saving (measured r7)
+        n_write = npart * max(1, -(-urls_selected // (config.WRITE_TASK_ROWS * npart)))
         crawled_version = self.lake.crawled.append(
-            spark, crawled_all, meta={"wave": wave})
+            spark, crawled_all.coalesce(n_write), meta={"wave": wave})
         crawl_stats = _obs_get(obs_crawl, {"rows": 0, "fetched_ok": 0, "emails": 0})
         mark("t_crawled")
 
