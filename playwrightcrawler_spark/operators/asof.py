@@ -13,6 +13,14 @@ unusable at 100 TB. Ties (equal timestamps) match inclusively: the
 right row sorts before the left row at the same instant (secondary
 sort on the tag), mirroring DuckDB/QuestDB ASOF semantics — the DuckDB
 native ``ASOF JOIN`` is the oracle.
+
+Skew: each key's timeline serializes into one window task — the known
+limit of any per-key ordered computation (pinned under a 95%-of-rows
+mega-key in tests/test_skew.py). At 100× scale, mitigate a pathological
+key by time-bucketing: run the same composition per (key, time_bucket)
+with the previous bucket's final carried values unioned in as seed rows,
+which caps any task at one bucket of one key; AQE skew handling also
+splits the oversized sort-shuffle partitions the mega-key creates.
 """
 
 from __future__ import annotations

@@ -11,6 +11,12 @@ Scale shape: one shuffle on the session key with map-side partial
 aggregation (Spark merges session windows inside the aggregate, no
 window-function sort needed); in streaming mode the same expression is
 watermark-bounded state, one row per open session per key.
+
+Skew: map-side partial merging collapses a mega-key's events into few
+open sessions per partition BEFORE the shuffle, so a 95%-of-rows hot
+key (pinned in tests/test_skew.py) shuffles merged session stubs, not
+raw events; the residual final-merge skew is one row per partial
+session and AQE skew handling covers the aggregate's exchange.
 """
 
 from __future__ import annotations
