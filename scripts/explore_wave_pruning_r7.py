@@ -84,8 +84,11 @@ def main() -> None:
     spark = get_spark(app_name="explore-wave-pruning", cores=32,
                       shuffle_partitions=32)
     flat, bucketed = ensure_corpora(spark)
-    all_urls = pages_gen.bench_all_page_urls(N_HOSTS, PAGES_PER_HOST)
-    rows = all_urls.orderBy(F.md5("url")).limit(max(WAVES)).collect()
+    import hashlib
+
+    all_urls = list(pages_gen.bench_all_page_urls(N_HOSTS, PAGES_PER_HOST))
+    all_urls.sort(key=lambda u: hashlib.md5(u.encode()).hexdigest())
+    rows = [{"url": u} for u in all_urls[: max(WAVES)]]
 
     out = {
         "explore": "wave_membership_pruning_r7",
