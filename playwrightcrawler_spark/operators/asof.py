@@ -38,7 +38,13 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Left rows enriched with the latest right-side ``value_cols`` at or
-    before each left timestamp (null when no right row precedes)."""
+    before each left timestamp (null when no right row precedes).
+
+    Right rows are expected to be unique per (key, ts): with duplicate
+    right timestamps on one key the carried value is whichever sorts
+    last under the window's (ts, side) order — unspecified, exactly as
+    in DuckDB/QuestDB ASOF. Dedup the right side per (key, ts) first
+    (e.g. keep max(value)) when inputs can carry such ties."""
     value_cols = value_cols or [c for c in right.columns if c not in (key_col, ts_col)]
     lhs = left.withColumn("_side", F.lit(1))
     rhs = right.select(

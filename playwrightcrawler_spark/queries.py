@@ -464,11 +464,23 @@ def _bucketed_emb_path(sf_dir: str, bits: int, seed: int) -> str:
     )
     # reap sibling trees from earlier states of THIS fixture (round-5
     # verdict #5): content-addressing makes stale HITS impossible but left
-    # one orphaned tree per regenerated fixture — keep only the current one
+    # one orphaned tree per regenerated fixture — keep only the current
+    # one. Recent-mtime trees are spared (round-6 advice): a CONCURRENT
+    # process still reading a previous fixture state's cache must not
+    # have it rmtree'd mid-scan; an orphan's mtime stops advancing, so
+    # the age guard converges to reaping it on a later call.
+    import time as _time
+
     for old in glob.glob(
         os.path.join(tempfile.gettempdir(), f"pwc_emb_buckets_{slug}_*")
     ):
-        if old != path:
+        if old == path:
+            continue
+        try:
+            age = _time.time() - os.stat(old).st_mtime
+        except OSError:
+            continue
+        if age > 3600:
             shutil.rmtree(old, ignore_errors=True)
     return path
 
