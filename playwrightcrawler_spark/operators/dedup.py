@@ -357,14 +357,25 @@ def decontaminate(
     doc_grams = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
+    # ONE pass over the exploded corpus computes BOTH per-doc numbers
+    # (r7, guide §1.2): the shingle array is distinct by construction, so
+    # count(*) per doc over the explode IS n_ngrams, and a LEFT join
+    # against the broadcast eval-gram set (marker column) counts the
+    # overlap in the same aggregate — the round-6 shape exploded the
+    # corpus' shingles twice (once for the inner-join hit count, once
+    # re-deriving n_ngrams as size(shingles)), doubling the dominant
+    # gram-materialization cost. Identical results, oracle-pinned.
+    marked = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.count("_hit").alias("n_overlap"),
     )
     return (
-        df.select(F.col(id_col), F.size(shingles_col(F.col(text_col), n)).alias("n_ngrams"))
-        .join(hits, id_col, "left")
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .withColumn("n_ngrams", F.coalesce(F.col("n_ngrams"), F.lit(0)))
         .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
         .withColumn("contaminated", F.col("n_overlap") >= min_hits)
     )
@@ -379,17 +390,35 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; the LSH recall filter never
-    decides alone (same pre-filter/exact-confirm split as the Bloom seen-set)."""
+    decides alone (same pre-filter/exact-confirm split as the Bloom seen-set).
+
+    Per-pair cost discipline (r7, guide §1.2 per-task work): the shingle
+    arrays are DISTINCT by construction (``shingles_col`` array_distincts),
+    so ``|A ∪ B| = |A| + |B| - |A ∩ B|`` exactly — one set operation per
+    pair instead of two. And since ``J = |∩|/|∪| <= min(|A|,|B|)/max(|A|,|B|)``
+    (the intersection is bounded by the smaller set, the union by the
+    larger), pairs whose size ratio already falls below ``threshold``
+    are dropped BEFORE the intersect — a two-int filter that skips the
+    expensive set operation entirely for size-mismatched candidates.
+    Both identities are exact: the surviving pairs and their jaccard
+    values are bit-identical to the naive form (oracle-pinned)."""
     sh = df.select(F.col(id_col), shingles_col(F.col(text_col), n).alias("sh"))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    sa, sb = F.size("sh_a"), F.size("sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = sa + sb - F.col("_inter")
     return (
         pairs.join(a, "id_a").join(b, "id_b")
+        .filter(
+            F.least(sa, sb).cast("double")
+            >= F.lit(threshold) * F.greatest(sa, sb).cast("double")
+        )
+        .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+            F.when(union > 0, F.col("_inter").cast("double") / union.cast("double"))
+            .otherwise(0.0),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
