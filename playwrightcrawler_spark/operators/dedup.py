@@ -147,7 +147,19 @@ def lsh_candidate_pairs(
     scale — the guide-§2.5 pattern of a coalesced input hiding a
     post-join explosion AQE cannot see). An explicit numbered
     repartition is exempt from AQE coalescing, so the expansion keeps
-    cluster-width parallelism at any scale."""
+    cluster-width parallelism at any scale.
+
+    Duplicate elimination is STRUCTURAL, not a distinct (r7, guide
+    §2.4 remove shuffles outright): the stacked-bands self-join emitted
+    every pair once per shared band and then shuffled the ~21M-row pair
+    set through a distinct to dedup — at bench scale that exchange +
+    two-level hash aggregate was the dominant remaining cost. Instead,
+    band i's join keeps only pairs whose band j<i keys DIFFER: a pair
+    sharing bands {i1 < i2 < ...} survives exactly at its first shared
+    band, the per-band unions are disjoint, and within one band a pair
+    appears once by construction — so the union IS the distinct pair
+    set and no exchange ever carries the pairs. (Band keys are never
+    null: signatures exist only for docs with ≥1 token.)"""
     npart = int(sig.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sig = sig.repartition(npart).localCheckpoint(eager=True)
     rows = num_hashes // bands
@@ -161,21 +173,26 @@ def lsh_candidate_pairs(
             band_key = F.xxhash64(F.lit(b), *cols)
         banded = banded.withColumn(f"band{b}", band_key)
         band_cols.append(f"band{b}")
-    stacked = banded.select(
-        id_col,
-        F.explode(F.array(*[F.col(c) for c in band_cols])).alias("band_key"),
-    )
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(right, on="band_key")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+    parts = []
+    for i, bc in enumerate(band_cols):
+        prior = band_cols[:i]
+        l = banded.select(
+            F.col(id_col).alias("id_a"),
+            F.col(bc).alias("_bk"),
+            *[F.col(c).alias(f"_la_{c}") for c in prior],
         )
-        .distinct()
-    )
+        r = banded.select(
+            F.col(id_col).alias("id_b"),
+            F.col(bc).alias("_bk"),
+            *[F.col(c).alias(f"_rb_{c}") for c in prior],
+        )
+        p = l.join(r, "_bk").filter(F.col("id_a") < F.col("id_b"))
+        for c in prior:
+            p = p.filter(F.col(f"_la_{c}") != F.col(f"_rb_{c}"))
+        parts.append(p.select("id_a", "id_b"))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
     return pairs
 
 

@@ -7,8 +7,10 @@ pages side or a row-at-a-time BatchEvalPython node fails HERE, loudly,
 instead of surfacing as a silent throughput drop in a later round.
 
 Pinned values measured 2026-08-22 on the round-7 code (signatures are
-checkpoint-backed now, candidate pairs stay lazy — OPTIMIZATION_r07.md):
-    minhash_lsh_pairs      shuffles=1 (the pairs distinct)  arrow_only
+checkpoint-backed, candidate pairs lazy AND structurally distinct — the
+per-band disjoint-union removed the distinct exchange entirely; see
+OPTIMIZATION_r07.md):
+    minhash_lsh_pairs      shuffles=0 (no pair exchange)    arrow_only
     minhash_lsh_pairs_xxh  shuffles=3                       arrow_only
     embedding_near_dup     shuffles=2                       arrow_only
     crawl_wave (fused)     shuffles=0, broadcast join       arrow_only
@@ -43,7 +45,7 @@ def test_wave_hot_path_has_zero_shuffles(guard):
 def test_headline_query_shuffle_budgets(guard):
     # == pins, not <=: a shuffle DISAPPEARING is also a plan change worth
     # noticing (e.g. an accidental collect/broadcast of a big side)
-    assert guard["minhash_lsh_pairs"]["shuffles"] == 1
+    assert guard["minhash_lsh_pairs"]["shuffles"] == 0
     assert guard["minhash_lsh_pairs_xxh"]["shuffles"] == 3
     assert guard["embedding_near_dup"]["shuffles"] == 2
 
